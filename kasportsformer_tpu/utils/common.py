@@ -1,0 +1,89 @@
+"""Observability + misc utilities.
+
+TPU-native counterparts of the reference's `utils/utilities.py`: logger with
+stream+timestamped-file handlers, running-average loss meter, deterministic
+seeding (JAX PRNG keys instead of global RNG state), and the horizontal
+pose-flip used for both train augmentation and eval TTA.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kasportsformer_tpu.skeleton import FLIP_PERM
+
+
+def get_logger(dir_path: str, file_name: str, name: str = "kasportsformer_tpu"):
+    """Stream + timestamped file logger (cf. `utils/utilities.py:67-88`)."""
+    logger = logging.getLogger(name)
+    logger.setLevel(logging.INFO)
+    logger.handlers.clear()
+    formatter = logging.Formatter(
+        fmt="[%(asctime)s|%(filename)s|%(levelname)s] %(message)s",
+        datefmt="%a %b %d %H:%M:%S %Y",
+    )
+    stream = logging.StreamHandler()
+    stream.setFormatter(formatter)
+    logger.addHandler(stream)
+
+    if dir_path:
+        os.makedirs(dir_path, exist_ok=True)
+        time_str = time.strftime("%Y-%m-%d-%H.%M", time.localtime())
+        fhandler = logging.FileHandler(
+            os.path.join(dir_path, time_str + file_name), mode="w"
+        )
+        fhandler.setLevel(logging.DEBUG)
+        fhandler.setFormatter(formatter)
+        logger.addHandler(fhandler)
+    logger.propagate = False
+    return logger
+
+
+class AverageMeter:
+    """Running average of a scalar (cf. `utils/utilities.py:91-108`)."""
+
+    def __init__(self) -> None:
+        self.reset()
+
+    def reset(self) -> None:
+        self.val = 0.0
+        self.avg = 0.0
+        self.sum = 0.0
+        self.count = 0
+
+    def update(self, val: float, n: int = 1) -> None:
+        self.val = float(val)
+        self.sum += float(val) * n
+        self.count += n
+        self.avg = self.sum / self.count
+
+
+def seed_everything(seed: int) -> jax.Array:
+    """Deterministic seeding. JAX PRNG is explicitly keyed, so unlike the
+    reference (`utils/utilities.py:15-22`) there is no global torch/cudnn
+    state to pin — numpy is seeded for host-side shuffles and a root key is
+    returned for all on-device randomness."""
+    np.random.seed(seed)
+    return jax.random.key(seed)
+
+
+def joint_flip(joints: jnp.ndarray) -> jnp.ndarray:
+    """Mirror a pose horizontally: negate x, swap left/right joints.
+
+    Functional version of `utils/utilities.py:128-135` (which mutates a deep
+    copy in place): x-negation composed with a static joint permutation, so it
+    stays a cheap fused gather under jit. Works on any (..., 17, C) array and
+    is an involution.
+    """
+    if isinstance(joints, np.ndarray):
+        flipped = joints.copy()
+        flipped[..., 0] *= -1
+        return flipped[..., FLIP_PERM, :]
+    flipped = joints.at[..., 0].multiply(-1)
+    return jnp.take(flipped, jnp.asarray(FLIP_PERM), axis=-2)
