@@ -1,0 +1,361 @@
+"""Functional layer library (pure jnp; params are plain pytrees).
+
+These are ground-up JAX formulations of the blocks the reference implements
+as torch modules (`model/modules/*.py`):
+
+* `attention` — spatial/temporal factored MHSA over a [B,T,J,C] stream
+  (≙ `model/modules/selfattention.py`), expressed as einsums so XLA batches
+  the tiny 17x17 / 27x27 attention matmuls onto the MXU;
+* `cross_attention` — Q from one stream, K/V from another
+  (≙ `model/modules/bone_crossattention.py`);
+* `gcn` — graph mixer with a precomputed degree-normalized skeleton adjacency
+  in spatial mode and a dynamic top-k-similarity adjacency in temporal mode
+  (≙ `model/modules/graph.py`), with per-node batch norm carried as explicit
+  state instead of module buffers;
+* `mlp`, `layer_norm`, `former_module` — the pre-LN metaformer wrapper with
+  LayerScale (≙ `model/KASportsFormer.py:65-118`).
+
+Initialization reproduces torch defaults (U(-1/sqrt(in), 1/sqrt(in)) linears,
+the GCN's N(0, sqrt(2/in)) U/V, zeros/ones norms) so training-from-scratch
+matches the reference recipe and converted torch checkpoints drop in.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = dict[str, Any]
+
+# ---------------------------------------------------------------- primitives
+
+
+def linear_init(key: jax.Array, dim_in: int, dim_out: int, bias: bool = True,
+                w_init: str = "torch") -> Params:
+    """Weight stored (in, out) for `x @ w`. `w_init`:
+    'torch'  — U(-1/sqrt(in), 1/sqrt(in)) (torch nn.Linear default),
+    'gcn'    — N(0, sqrt(2/in)) (reference GCN._init_gcn),
+    'zeros'  — zeros (adaptive-fusion gate weight)."""
+    kw, kb = jax.random.split(key)
+    bound = 1.0 / math.sqrt(dim_in)
+    if w_init == "torch":
+        w = jax.random.uniform(kw, (dim_in, dim_out), jnp.float32, -bound, bound)
+    elif w_init == "gcn":
+        w = jax.random.normal(kw, (dim_in, dim_out), jnp.float32) * math.sqrt(
+            2.0 / dim_in
+        )
+    elif w_init == "zeros":
+        w = jnp.zeros((dim_in, dim_out), jnp.float32)
+    else:
+        raise ValueError(w_init)
+    p = {"w": w}
+    if bias:
+        p["b"] = jax.random.uniform(kb, (dim_out,), jnp.float32, -bound, bound)
+    return p
+
+
+def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    y = x @ p["w"].astype(x.dtype)
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
+def layer_norm_init(dim: int) -> Params:
+    return {"scale": jnp.ones((dim,), jnp.float32), "bias": jnp.zeros((dim,), jnp.float32)}
+
+
+def layer_norm(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """LayerNorm over the last axis; statistics in float32 for bf16 safety."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (y * p["scale"] + p["bias"]).astype(x.dtype)
+
+
+def mlp_init(key: jax.Array, dim_in: int, hidden: int, dim_out: int) -> Params:
+    k1, k2 = jax.random.split(key)
+    return {
+        "fc1": linear_init(k1, dim_in, hidden),
+        "fc2": linear_init(k2, hidden, dim_out),
+    }
+
+
+def mlp(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """fc1 -> GELU -> fc2 (dropout-free: all shipped configs use drop=0;
+    torch GELU default is the exact erf form)."""
+    return linear(p["fc2"], jax.nn.gelu(linear(p["fc1"], x), approximate=False))
+
+
+# ---------------------------------------------------------------- attention
+
+
+def attention_init(key: jax.Array, dim: int, qkv_bias: bool = False) -> Params:
+    kq, kp = jax.random.split(key)
+    return {
+        "qkv": linear_init(kq, dim, dim * 3, bias=qkv_bias),
+        "proj": linear_init(kp, dim, dim),
+    }
+
+
+def _heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    """(B, T, J, C) -> (B, H, T, J, C/H)"""
+    b, t, j, c = x.shape
+    return x.reshape(b, t, j, num_heads, c // num_heads).transpose(0, 3, 1, 2, 4)
+
+
+def _unheads(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, T, J, D) -> (B, T, J, H*D)"""
+    b, h, t, j, d = x.shape
+    return x.transpose(0, 2, 3, 1, 4).reshape(b, t, j, h * d)
+
+
+def _sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
+          axis: str) -> jnp.ndarray:
+    """Scaled dot-product attention over the joint ('spatial') or frame
+    ('temporal') axis of (B, H, T, J, D) tensors. Softmax in float32."""
+    if axis == "spatial":  # attend over J, independently per (B,H,T)
+        logits = jnp.einsum("bhtjd,bhtkd->bhtjk", q, k) * scale
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+        return jnp.einsum("bhtjk,bhtkd->bhtjd", probs, v)
+    if axis == "temporal":  # attend over T, independently per (B,H,J)
+        logits = jnp.einsum("bhtjd,bhsjd->bhjts", q, k) * scale
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+        return jnp.einsum("bhjts,bhsjd->bhtjd", probs, v)
+    raise ValueError(axis)
+
+
+def attention(p: Params, x: jnp.ndarray, num_heads: int, mode: str,
+              qk_scale: float | None = None) -> jnp.ndarray:
+    """Self-attention on [B,T,J,C] (≙ `model/modules/selfattention.py:44-60`)."""
+    c = x.shape[-1]
+    scale = qk_scale or (c // num_heads) ** -0.5
+    qkv = linear(p["qkv"], x)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    out = _sdpa(_heads(q, num_heads), _heads(k, num_heads), _heads(v, num_heads),
+                scale, mode)
+    return linear(p["proj"], _unheads(out))
+
+
+def cross_attention_init(key: jax.Array, dim: int, qkv_bias: bool = False) -> Params:
+    kq, kkv, kp = jax.random.split(key, 3)
+    return {
+        "q": linear_init(kq, dim, dim, bias=qkv_bias),
+        "kv": linear_init(kkv, dim, dim * 2, bias=qkv_bias),
+        "proj": linear_init(kp, dim, dim),
+    }
+
+
+def cross_attention(p: Params, x: jnp.ndarray, x_kv: jnp.ndarray, num_heads: int,
+                    mode: str, qk_scale: float | None = None) -> jnp.ndarray:
+    """Q from `x`, K/V from `x_kv`
+    (≙ `model/modules/bone_crossattention.py:43-62`)."""
+    c = x.shape[-1]
+    scale = qk_scale or (c // num_heads) ** -0.5
+    q = linear(p["q"], x)
+    k, v = jnp.split(linear(p["kv"], x_kv), 2, axis=-1)
+    out = _sdpa(_heads(q, num_heads), _heads(k, num_heads), _heads(v, num_heads),
+                scale, mode)
+    return linear(p["proj"], _unheads(out))
+
+
+# ---------------------------------------------------------------- GCN
+
+
+def batch_norm_init(num_features: int) -> tuple[Params, Params]:
+    """Affine params + running-stat state for per-node batch norm."""
+    params = {
+        "scale": jnp.ones((num_features,), jnp.float32),
+        "bias": jnp.zeros((num_features,), jnp.float32),
+    }
+    state = {
+        "mean": jnp.zeros((num_features,), jnp.float32),
+        "var": jnp.ones((num_features,), jnp.float32),
+    }
+    return params, state
+
+
+def batch_norm_nodes(p: Params, state: Params, x: jnp.ndarray, train: bool,
+                     momentum: float = 0.1, eps: float = 1e-5
+                     ) -> tuple[jnp.ndarray, Params]:
+    """Per-node batch norm on (N, nodes, C): statistics over the (N, C) axes
+    per node — torch BatchNorm1d(num_nodes) semantics from
+    `model/modules/graph.py:37`, where the *node* axis plays the channel role.
+
+    In training, statistics are computed over the full (possibly sharded)
+    batch — i.e. cross-replica/"sync" BN. The reference's DataParallel computes
+    per-replica statistics instead; for single-device training they coincide,
+    and the synced form is the better-defined choice on a TPU mesh (it is the
+    statistics of the *logical* batch regardless of mesh size).
+    """
+    xf = x.astype(jnp.float32)
+    if train:
+        mean = jnp.mean(xf, axis=(0, 2))
+        var = jnp.mean(jnp.square(xf - mean[None, :, None]), axis=(0, 2))
+        n = x.shape[0] * x.shape[2]
+        unbiased = var * (n / max(n - 1, 1))
+        new_state = {
+            "mean": (1 - momentum) * state["mean"] + momentum * mean,
+            "var": (1 - momentum) * state["var"] + momentum * unbiased,
+        }
+    else:
+        mean, var = state["mean"], state["var"]
+        new_state = state
+    y = (xf - mean[None, :, None]) * jax.lax.rsqrt(var[None, :, None] + eps)
+    y = y * p["scale"][None, :, None] + p["bias"][None, :, None]
+    return y.astype(x.dtype), new_state
+
+
+def normalize_adjacency(adj: jnp.ndarray) -> jnp.ndarray:
+    """Symmetric degree normalization D^-1/2 A D^-1/2 applied row-wise with
+    the same broadcasting as `model/modules/graph.py:77-90` (the reference
+    multiplies D^-1/2 A D^-1/2 where both D factors use the *row* degree)."""
+    deg = jnp.sum(adj, axis=-1)  # (..., N)
+    dinv = deg**-0.5
+    # norm_deg_matrix = diag(dinv); norm = diag @ adj @ diag
+    return adj * dinv[..., :, None] * dinv[..., None, :]
+
+
+def gcn_init(key: jax.Array, dim_in: int, dim_out: int, num_nodes: int
+             ) -> tuple[Params, Params]:
+    ku, kv = jax.random.split(key)
+    bn_p, bn_s = batch_norm_init(num_nodes)
+    params = {
+        "U": linear_init(ku, dim_in, dim_out, w_init="gcn"),
+        "V": linear_init(kv, dim_in, dim_out, w_init="gcn"),
+        "bn": bn_p,
+    }
+    return params, {"bn": bn_s}
+
+
+def gcn(p: Params, state: Params, x: jnp.ndarray, mode: str, train: bool,
+        spatial_norm_adj: jnp.ndarray | None = None, neighbour_num: int = 4,
+        static_temporal_adj: jnp.ndarray | None = None
+        ) -> tuple[jnp.ndarray, Params]:
+    """Graph mixer on [B,T,J,C] (≙ `model/modules/graph.py:99-134`).
+
+    spatial: fixed skeleton adjacency — its degree normalization is constant,
+    so `spatial_norm_adj` is precomputed once at model build (the reference
+    recomputes the same normalization per batch element).
+    temporal: dynamic adjacency from top-k feature similarity per (batch,
+    joint) sequence, normalized per instance.
+    Update: relu(x + BN(norm_adj @ V(x) + U(x))) (dim_in == dim_out here).
+    """
+    b, t, j, c = x.shape
+    if mode == "spatial":
+        tokens = x.reshape(b * t, j, c)  # nodes = joints
+        norm_adj = spatial_norm_adj.astype(x.dtype)
+        agg = jnp.einsum("jk,nkc->njc", norm_adj, linear(p["V"], tokens))
+    elif mode == "temporal":
+        tokens = x.transpose(0, 2, 1, 3).reshape(b * j, t, c)  # nodes = frames
+        if static_temporal_adj is not None:
+            norm_adj = normalize_adjacency(static_temporal_adj).astype(x.dtype)
+            agg = jnp.einsum("ts,nsc->ntc", norm_adj, linear(p["V"], tokens))
+        else:
+            sim = jnp.einsum("ntc,nsc->nts", tokens, tokens)
+            kth = jax.lax.top_k(sim, neighbour_num)[0][..., -1:]  # (BJ, T, 1)
+            adj = (sim >= kth).astype(x.dtype)  # (BJ, T, T)
+            norm_adj = normalize_adjacency(adj)
+            agg = jnp.einsum("nts,nsc->ntc", norm_adj, linear(p["V"], tokens))
+    else:
+        raise ValueError(mode)
+
+    pre = agg + linear(p["U"], tokens)
+    normed, new_bn = batch_norm_nodes(p["bn"], state["bn"], pre, train)
+    out = jax.nn.relu(tokens + normed)
+    if mode == "spatial":
+        out = out.reshape(b, t, j, c)
+    else:
+        out = out.reshape(b, j, t, c).transpose(0, 2, 1, 3)
+    return out, {"bn": new_bn}
+
+
+# ---------------------------------------------------------------- former block
+
+
+def former_module_init(key: jax.Array, dim: int, mlp_ratio: float, mixer_type: str,
+                       mode: str, num_heads: int, qkv_bias: bool,
+                       layer_scale_init: float, n_frames: int
+                       ) -> tuple[Params, Params]:
+    """Pre-LN metaformer block params (≙ `model/KASportsFormer.py:65-101`).
+    `norm1_limb` exists for every mixer type (the reference allocates it
+    unconditionally at `:73`), keeping checkpoint layouts aligned."""
+    km, kmlp = jax.random.split(key)
+    state: Params = {}
+    if mixer_type == "attention":
+        mixer = attention_init(km, dim, qkv_bias)
+    elif mixer_type == "graph":
+        num_nodes = 17 if mode == "spatial" else n_frames
+        mixer, state = gcn_init(km, dim, dim, num_nodes)
+    elif mixer_type == "bone":
+        mixer = cross_attention_init(km, dim, qkv_bias)
+    else:
+        raise ValueError(mixer_type)
+    params = {
+        "norm1": layer_norm_init(dim),
+        "norm1_limb": layer_norm_init(dim),
+        "norm2": layer_norm_init(dim),
+        "mixer": mixer,
+        "mlp": mlp_init(kmlp, dim, int(dim * mlp_ratio), dim),
+        "ls1": layer_scale_init * jnp.ones((dim,), jnp.float32),
+        "ls2": layer_scale_init * jnp.ones((dim,), jnp.float32),
+    }
+    return params, state
+
+
+def former_module(p: Params, state: Params, x: jnp.ndarray, mixer_type: str,
+                  mode: str, num_heads: int, train: bool,
+                  x_limb: jnp.ndarray | None = None,
+                  qk_scale: float | None = None,
+                  spatial_norm_adj: jnp.ndarray | None = None,
+                  neighbour_num: int = 4,
+                  use_layer_scale: bool = True) -> tuple[jnp.ndarray, Params]:
+    """x + LS1*mixer(LN(x)[, LN_limb(x_limb)]); x + LS2*MLP(LN(x))
+    (≙ `model/KASportsFormer.py:103-118`; drop_path=0 in all configs)."""
+    new_state = state
+    h = layer_norm(p["norm1"], x)
+    if mixer_type == "attention":
+        mixed = attention(p["mixer"], h, num_heads, mode, qk_scale)
+    elif mixer_type == "graph":
+        mixed, new_state = gcn(
+            p["mixer"], state, h, mode, train,
+            spatial_norm_adj=spatial_norm_adj, neighbour_num=neighbour_num,
+        )
+    elif mixer_type == "bone":
+        h_limb = layer_norm(p["norm1_limb"], x_limb)
+        mixed = cross_attention(p["mixer"], h, h_limb, num_heads, mode, qk_scale)
+    else:
+        raise ValueError(mixer_type)
+
+    if use_layer_scale:
+        x = x + p["ls1"].astype(x.dtype) * mixed
+        x = x + p["ls2"].astype(x.dtype) * mlp(p["mlp"], layer_norm(p["norm2"], x))
+    else:
+        x = x + mixed
+        x = x + mlp(p["mlp"], layer_norm(p["norm2"], x))
+    return x, new_state
+
+
+def adaptive_fusion_init(dim: int, n_branches: int = 3) -> Params:
+    """Fusion gate Linear(n*dim -> n), weight zeros / bias 1/n
+    (≙ `model/KASportsFormer.py:184-186`)."""
+    return {
+        "w": jnp.zeros((n_branches * dim, n_branches), jnp.float32),
+        "b": jnp.full((n_branches,), 1.0 / n_branches, jnp.float32),
+    }
+
+
+def adaptive_fusion(p: Params, branches: list[jnp.ndarray]) -> jnp.ndarray:
+    """Softmax-gated convex combination of branch streams
+    (≙ `model/KASportsFormer.py:278-284`)."""
+    alpha = jax.nn.softmax(linear(p, jnp.concatenate(branches, axis=-1)), axis=-1)
+    out = branches[0] * alpha[..., 0:1]
+    for i, br in enumerate(branches[1:], start=1):
+        out = out + br * alpha[..., i : i + 1]
+    return out

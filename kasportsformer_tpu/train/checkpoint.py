@@ -1,0 +1,280 @@
+"""Checkpointing: orbax-native save/restore + torch `.pth` interchange.
+
+The reference saves torch checkpoints shaped
+`{'epoch', 'learning_rate', 'optimizer', 'model': state_dict, 'min_mpjpe',
+'wandb_id'}` with DataParallel's `module.`-prefixed keys
+(`utils/utilities.py:110-118`, SURVEY.md §5.4). This module:
+
+* converts a reference KASportsFormer state_dict into this framework's
+  (params, state) pytrees — handling the `module.` prefix, torch's (out, in)
+  Linear layout vs ours (in, out), the ragged BoneMLP stack → padded dense
+  tensors, and per-layer module trees → scan-stacked arrays;
+* converts back (for exporting weights a reference user can load);
+* saves/restores native training state with orbax (fixing the reference's
+  resume-key bug, SURVEY.md §5.4, by construction: one schema for save and
+  load).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kasportsformer_tpu.skeleton import LIMB_COMBINATIONS, MAX_LIMB_COMBINATION
+
+Params = dict[str, Any]
+
+_TRUNK_MODULES = (
+    "att_spatial", "att_temporal",
+    "graph_spatial", "graph_temporal",
+    "bone_spatial", "bone_temporal",
+)
+_BONE_CHANNELS = ("mlp_dir_x", "mlp_dir_y", "mlp_len")
+
+
+def _np(t) -> np.ndarray:
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().numpy()
+    return np.asarray(t)
+
+
+def strip_module_prefix(state_dict: dict[str, Any]) -> dict[str, Any]:
+    """Drop DataParallel's 'module.' key prefix when present."""
+    if any(k.startswith("module.") for k in state_dict):
+        return {k[len("module."):]: v for k, v in state_dict.items()}
+    return dict(state_dict)
+
+
+def _lin(sd: dict, name: str, bias: bool = True) -> Params:
+    p = {"w": jnp.asarray(_np(sd[f"{name}.weight"]).T)}
+    if bias and f"{name}.bias" in sd:
+        p["b"] = jnp.asarray(_np(sd[f"{name}.bias"]))
+    return p
+
+
+def _ln(sd: dict, name: str) -> Params:
+    return {
+        "scale": jnp.asarray(_np(sd[f"{name}.weight"])),
+        "bias": jnp.asarray(_np(sd[f"{name}.bias"])),
+    }
+
+
+def _former(sd: dict, prefix: str, mixer_type: str) -> tuple[Params, Params]:
+    p: Params = {
+        "norm1": _ln(sd, f"{prefix}.norm1"),
+        "norm1_limb": _ln(sd, f"{prefix}.norm1_limb"),
+        "norm2": _ln(sd, f"{prefix}.norm2"),
+        "mlp": {
+            "fc1": _lin(sd, f"{prefix}.mlp.fc1"),
+            "fc2": _lin(sd, f"{prefix}.mlp.fc2"),
+        },
+        "ls1": jnp.asarray(_np(sd[f"{prefix}.layer_scale_1"])),
+        "ls2": jnp.asarray(_np(sd[f"{prefix}.layer_scale_2"])),
+    }
+    state: Params = {}
+    if mixer_type == "attention":
+        p["mixer"] = {
+            "qkv": _lin(sd, f"{prefix}.mixer.qkv"),
+            "proj": _lin(sd, f"{prefix}.mixer.proj"),
+        }
+    elif mixer_type == "bone":
+        p["mixer"] = {
+            "q": _lin(sd, f"{prefix}.mixer.qkv_q"),
+            "kv": _lin(sd, f"{prefix}.mixer.qkv_kv"),
+            "proj": _lin(sd, f"{prefix}.mixer.proj"),
+        }
+    elif mixer_type == "graph":
+        p["mixer"] = {
+            "U": _lin(sd, f"{prefix}.mixer.U"),
+            "V": _lin(sd, f"{prefix}.mixer.V"),
+            "bn": {
+                "scale": jnp.asarray(_np(sd[f"{prefix}.mixer.batch_norm.weight"])),
+                "bias": jnp.asarray(_np(sd[f"{prefix}.mixer.batch_norm.bias"])),
+            },
+        }
+        state = {"bn": {
+            "mean": jnp.asarray(_np(sd[f"{prefix}.mixer.batch_norm.running_mean"])),
+            "var": jnp.asarray(_np(sd[f"{prefix}.mixer.batch_norm.running_var"])),
+        }}
+    return p, state
+
+
+def _bone_refusion_from_torch(sd: dict) -> Params:
+    """17 ragged BoneMLPs (`bone_refusion.mlp_layers.{g}.{channel}.fc{1,2}`)
+    → dense padded (G, 3, Kmax, H) stacks."""
+    n_groups = len(LIMB_COMBINATIONS)
+    h = _np(sd["bone_refusion.mlp_layers.0.mlp_dir_x.fc1.weight"]).shape[0]
+    w1 = np.zeros((n_groups, 3, MAX_LIMB_COMBINATION, h), np.float32)
+    b1 = np.zeros((n_groups, 3, h), np.float32)
+    w2 = np.zeros((n_groups, 3, h), np.float32)
+    b2 = np.zeros((n_groups, 3), np.float32)
+    for g, combo in enumerate(LIMB_COMBINATIONS):
+        k = len(combo)
+        for c, ch in enumerate(_BONE_CHANNELS):
+            base = f"bone_refusion.mlp_layers.{g}.{ch}"
+            w1[g, c, :k] = _np(sd[f"{base}.fc1.weight"]).T  # (k, h)
+            b1[g, c] = _np(sd[f"{base}.fc1.bias"])
+            w2[g, c] = _np(sd[f"{base}.fc2.weight"])[0]  # (1, h) -> (h,)
+            b2[g, c] = _np(sd[f"{base}.fc2.bias"])[0]
+    return {"w1": jnp.asarray(w1), "b1": jnp.asarray(b1),
+            "w2": jnp.asarray(w2), "b2": jnp.asarray(b2)}
+
+
+def torch_state_dict_to_params(state_dict: dict[str, Any], n_layers: int = 26
+                               ) -> tuple[Params, Params]:
+    """Reference KASportsFormer state_dict -> (params, state) pytrees."""
+    sd = strip_module_prefix(state_dict)
+    params: Params = {
+        "joints_embed": _lin(sd, "joints_embed"),
+        "bone_embed": _lin(sd, "bone_embed"),
+        "limb_embed": _lin(sd, "limb_embed"),
+        "pos_embed": jnp.asarray(_np(sd["pos_embed"])),
+        "bone_pos_embed": jnp.asarray(_np(sd["bone_pos_embed"])),
+        "limb_pos_embed": jnp.asarray(_np(sd["limb_pos_embed"])),
+        "bone_refusion": _bone_refusion_from_torch(sd),
+        "norm": _ln(sd, "norm"),
+        "rep_logit": _lin(sd, "rep_logit.fc"),
+        "head": _lin(sd, "head"),
+    }
+    mixer_of = dict(zip(_TRUNK_MODULES,
+                        ("attention", "attention", "graph", "graph", "bone", "bone")))
+    layer_params, layer_states = [], []
+    for i in range(n_layers):
+        lp: Params = {}
+        ls: Params = {}
+        for name in _TRUNK_MODULES:
+            p, s = _former(sd, f"layers_with_bone.{i}.{name}", mixer_of[name])
+            lp[name] = p
+            if s:
+                ls[name] = s
+        lp["fusion"] = _lin(sd, f"layers_with_bone.{i}.fusion_three_channel")
+        layer_params.append(lp)
+        layer_states.append(ls)
+    params["layers"] = jax.tree.map(lambda *xs: jnp.stack(xs), *layer_params)
+    state = {"layers": jax.tree.map(lambda *xs: jnp.stack(xs), *layer_states)}
+    return params, state
+
+
+def params_to_torch_state_dict(params: Params, state: Params,
+                               module_prefix: bool = True) -> dict[str, np.ndarray]:
+    """(params, state) -> a reference-layout state_dict (numpy values), with
+    the DataParallel 'module.' prefix the reference's load sites expect
+    (`train_and_evaluate_sp.py:164-174`)."""
+    out: dict[str, np.ndarray] = {}
+
+    def put(key, arr):
+        out[key] = np.asarray(arr)
+
+    def put_lin(key, p):
+        put(f"{key}.weight", np.asarray(p["w"]).T)
+        if "b" in p:
+            put(f"{key}.bias", p["b"])
+
+    def put_ln(key, p):
+        put(f"{key}.weight", p["scale"])
+        put(f"{key}.bias", p["bias"])
+
+    put_lin("joints_embed", params["joints_embed"])
+    put_lin("bone_embed", params["bone_embed"])
+    put_lin("limb_embed", params["limb_embed"])
+    put("pos_embed", params["pos_embed"])
+    put("bone_pos_embed", params["bone_pos_embed"])
+    put("limb_pos_embed", params["limb_pos_embed"])
+    put_ln("norm", params["norm"])
+    put_lin("rep_logit.fc", params["rep_logit"])
+    put_lin("head", params["head"])
+
+    br = params["bone_refusion"]
+    for g, combo in enumerate(LIMB_COMBINATIONS):
+        k = len(combo)
+        for c, ch in enumerate(_BONE_CHANNELS):
+            base = f"bone_refusion.mlp_layers.{g}.{ch}"
+            put(f"{base}.fc1.weight", np.asarray(br["w1"])[g, c, :k].T)
+            put(f"{base}.fc1.bias", np.asarray(br["b1"])[g, c])
+            put(f"{base}.fc2.weight", np.asarray(br["w2"])[g, c][None, :])
+            put(f"{base}.fc2.bias", np.asarray(br["b2"])[g, c][None])
+
+    n_layers = int(jax.tree.leaves(params["layers"])[0].shape[0])
+    for i in range(n_layers):
+        lp = jax.tree.map(lambda x: x[i], params["layers"])
+        ls = jax.tree.map(lambda x: x[i], state["layers"])
+        for name in _TRUNK_MODULES:
+            prefix = f"layers_with_bone.{i}.{name}"
+            p = lp[name]
+            put_ln(f"{prefix}.norm1", p["norm1"])
+            put_ln(f"{prefix}.norm1_limb", p["norm1_limb"])
+            put_ln(f"{prefix}.norm2", p["norm2"])
+            put_lin(f"{prefix}.mlp.fc1", p["mlp"]["fc1"])
+            put_lin(f"{prefix}.mlp.fc2", p["mlp"]["fc2"])
+            put(f"{prefix}.layer_scale_1", p["ls1"])
+            put(f"{prefix}.layer_scale_2", p["ls2"])
+            m = p["mixer"]
+            if "qkv" in m:
+                put_lin(f"{prefix}.mixer.qkv", m["qkv"])
+                put_lin(f"{prefix}.mixer.proj", m["proj"])
+            elif "q" in m:
+                put_lin(f"{prefix}.mixer.qkv_q", m["q"])
+                put_lin(f"{prefix}.mixer.qkv_kv", m["kv"])
+                put_lin(f"{prefix}.mixer.proj", m["proj"])
+            else:
+                put_lin(f"{prefix}.mixer.U", m["U"])
+                put_lin(f"{prefix}.mixer.V", m["V"])
+                put(f"{prefix}.mixer.batch_norm.weight", m["bn"]["scale"])
+                put(f"{prefix}.mixer.batch_norm.bias", m["bn"]["bias"])
+                put(f"{prefix}.mixer.batch_norm.running_mean",
+                    ls[name]["bn"]["mean"])
+                put(f"{prefix}.mixer.batch_norm.running_var",
+                    ls[name]["bn"]["var"])
+                put(f"{prefix}.mixer.batch_norm.num_batches_tracked",
+                    np.zeros((), np.int64))
+        put_lin(f"layers_with_bone.{i}.fusion_three_channel", lp["fusion"])
+
+    if module_prefix:
+        out = {f"module.{k}": v for k, v in out.items()}
+    return out
+
+
+def load_torch_checkpoint(path: str) -> dict[str, Any]:
+    """Load a reference `.pth` file. Accepts both a bare state_dict and the
+    reference's full payload dict; returns the state_dict."""
+    import torch  # local import: torch is only needed for .pth interchange
+
+    payload = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(payload, dict) and "model" in payload:
+        payload = payload["model"]
+    return strip_module_prefix(payload)
+
+
+# ------------------------------------------------------------ orbax native
+
+
+def save_native(directory: str, step: int, payload: Params) -> None:
+    """Save a native checkpoint (params/state/opt_state/host metadata)."""
+    import orbax.checkpoint as ocp
+
+    directory = os.path.abspath(directory)
+    with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
+        ckptr.save(os.path.join(directory, f"step_{step}"), payload, force=True)
+
+
+def restore_native(directory: str, step: int, template: Params | None = None) -> Params:
+    import orbax.checkpoint as ocp
+
+    directory = os.path.abspath(directory)
+    with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
+        if template is not None:
+            return ckptr.restore(
+                os.path.join(directory, f"step_{step}"), item=template)
+        return ckptr.restore(os.path.join(directory, f"step_{step}"))
+
+
+def latest_native_step(directory: str) -> int | None:
+    if not os.path.isdir(directory):
+        return None
+    steps = [int(d.split("_", 1)[1]) for d in os.listdir(directory)
+             if d.startswith("step_")]
+    return max(steps) if steps else None
