@@ -66,10 +66,18 @@ def device_put_clipset(clipset: ClipSet, sharding=None) -> dict[str, jax.Array]:
     return out
 
 
+def take_batch(array: jax.Array, idx: jnp.ndarray) -> jnp.ndarray:
+    """On-device batch gather. Indices come from `epoch_plan` and are in
+    bounds by construction, so the bounds check is elided
+    ('promise_in_bounds' — jnp.take's default OOB mode fills with NaN, which
+    both hides bugs and costs a clamp on TPU)."""
+    return array.at[idx].get(mode="promise_in_bounds")
+
+
 def gather_batch(arrays: dict[str, jax.Array], idx: jnp.ndarray,
                  fields: tuple[str, ...]) -> dict[str, jnp.ndarray]:
     """On-device batch assembly: one gather per field (fuses into the step)."""
-    return {name: jnp.take(arrays[name], idx, axis=0) for name in fields}
+    return {name: take_batch(arrays[name], idx) for name in fields}
 
 
 def random_flip_batch(key: jax.Array, x: jnp.ndarray, y: jnp.ndarray

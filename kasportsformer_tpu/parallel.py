@@ -1,0 +1,100 @@
+"""Mesh / sharding layer — the framework's distributed backbone.
+
+The reference's only parallelism is single-process `torch.nn.DataParallel`
+(`train_and_evaluate_sp.py:262-264`, SURVEY.md §2.7). The TPU-native design
+replaces it with a 2-D `jax.sharding.Mesh` ('data', 'model'):
+
+* batches are sharded over 'data' (the DP axis); loss/grad reductions become
+  XLA all-reduces over ICI inserted by pjit's sharding propagation — no
+  explicit NCCL-style collectives in user code;
+* parameters are replicated by default (29M params fit everywhere), with
+  optional tensor-parallel sharding of the attention-head and MLP-hidden
+  dimensions over 'model' for the scale-out path the reference never had;
+* multi-host (DCN) extends the same mesh via `jax.distributed.initialize`;
+  single-host multi-chip needs no initialization at all.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(data: int = -1, model: int = 1,
+              devices: list | None = None) -> Mesh:
+    """Build a ('data', 'model') mesh. data=-1 fills with all remaining
+    devices. Layout follows device order, so on a TPU slice the 'model' axis
+    (if used) maps to nearest-neighbor ICI links."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if data == -1:
+        if n % model:
+            raise ValueError(f"{n} devices not divisible by model={model}")
+        data = n // model
+    if data * model > n:
+        raise ValueError(f"mesh {data}x{model} exceeds {n} devices")
+    mesh_devices = np.asarray(devices[: data * model]).reshape(data, model)
+    return Mesh(mesh_devices, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard axis 0 (batch / clip axis) over 'data'."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def _spec_for_path(path: tuple, leaf) -> P:
+    """Tensor-parallel PartitionSpecs for KASportsFormer parameter leaves.
+
+    Trunk ('layers') leaves carry a leading scan axis. TP shards the
+    contraction-free output dims of qkv/kv/q and mlp.fc1 and the input dims
+    of proj/mlp.fc2 over 'model' — the Megatron split: an attention block or
+    MLP needs only one all-reduce at its output projection, which XLA inserts
+    automatically from these specs.
+    """
+    keys = [getattr(k, "key", getattr(k, "name", None)) for k in path]
+    ndim = getattr(leaf, "ndim", 0)
+
+    def spec(*tail):
+        lead = (None,) * (ndim - len(tail))
+        return P(*lead, *tail)
+
+    if "mixer" in keys and keys[-1] == "w":
+        owner = keys[keys.index("mixer") + 1] if keys.index("mixer") + 1 < len(keys) else None
+        if owner in ("qkv", "kv", "q"):
+            return spec(None, MODEL_AXIS)  # (.., C, kC) -> shard heads dim
+        if owner == "proj":
+            return spec(MODEL_AXIS, None)  # row-parallel back
+    if "mlp" in keys and keys[-1] == "w":
+        owner = keys[keys.index("mlp") + 1] if keys.index("mlp") + 1 < len(keys) else None
+        if owner == "fc1":
+            return spec(None, MODEL_AXIS)
+        if owner == "fc2":
+            return spec(MODEL_AXIS, None)
+    if "mlp" in keys and keys[-1] == "b":
+        owner = keys[keys.index("mlp") + 1] if keys.index("mlp") + 1 < len(keys) else None
+        if owner == "fc1":
+            return spec(MODEL_AXIS)
+    return P()  # replicate everything else
+
+
+def param_shardings(params: Any, mesh: Mesh, tensor_parallel: bool = True):
+    """NamedSharding pytree for a parameter pytree. With tensor_parallel=False
+    (or a 1-wide 'model' axis) everything is replicated."""
+    if not tensor_parallel or mesh.shape[MODEL_AXIS] == 1:
+        return jax.tree.map(lambda _: replicated(mesh), params)
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, _spec_for_path(path, leaf)), params)
+
+
+def shard_pytree(tree: Any, shardings: Any) -> Any:
+    return jax.tree.map(jax.device_put, tree, shardings)

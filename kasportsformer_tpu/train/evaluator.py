@@ -1,0 +1,170 @@
+"""Evaluation harness — the metric-defining path.
+
+Reproduces the reference's eval protocol (`train_and_evaluate_sp.py:27-149`)
+with the whole per-clip pipeline fused into ONE jitted device program per
+batch: flip-TTA forward → root-zeroing → de-normalization → 2.5D scaling →
+root-centering → MPJPE/JPE/acceleration/P-MPJPE (Procrustes SVD on device).
+Only small per-frame metric arrays return to the host, where the
+string-keyed per-action grouping and the action-balanced reduction happen
+(strings don't belong in jit — SURVEY.md §7.4.4).
+
+Divergence from the reference, deliberate: the reference evaluates with a
+shuffled DataLoader (`train_and_evaluate_sp.py:253`); we evaluate in clip
+order. The action-balanced means are order-invariant, so results match.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kasportsformer_tpu.data.clips import ClipSet
+from kasportsformer_tpu.data.pipeline import (
+    device_put_clipset,
+    epoch_plan,
+    take_batch,
+    truncate_channels,
+)
+from kasportsformer_tpu.skeleton import (
+    JOINT_LABELS,
+    LOWER_BODY_JOINTS,
+    NUM_JOINTS,
+    UPPER_BODY_JOINTS,
+)
+from kasportsformer_tpu.train import metrics as M
+from kasportsformer_tpu.utils.common import joint_flip
+
+
+def denormalize_device(pred: jnp.ndarray, res: jnp.ndarray) -> jnp.ndarray:
+    """On-device inverse screen normalization, per clip
+    (≙ `train_and_evaluate_sp.py:65-66`): pred (B,T,17,3), res (B,2)."""
+    res_w = res[:, 0][:, None, None, None]
+    res_h = res[:, 1][:, None, None, None]
+    xy = (pred[..., :2] + jnp.concatenate(
+        [jnp.ones_like(res_w), res_h / res_w], axis=-1)) * res_w / 2
+    z = pred[..., 2:] * res_w / 2
+    return jnp.concatenate([xy, z], axis=-1)
+
+
+def tta_forward(model, params, state, x: jnp.ndarray, flip: bool) -> jnp.ndarray:
+    """Flip test-time augmentation: mean of normal and mirrored predictions
+    (≙ `train_and_evaluate_sp.py:46-51`)."""
+    pred, _ = model.apply(params, state, x, train=False)
+    if not flip:
+        return pred
+    pred_flip, _ = model.apply(params, state, joint_flip(x), train=False)
+    return (pred + joint_flip(pred_flip)) / 2
+
+
+def make_eval_step(model, flip: bool, input_channel_number: int = 3):
+    """Jitted batch evaluator: gathers its batch on device by index and
+    returns per-frame metric arrays."""
+
+    @jax.jit
+    def step(params, state, arrays, idx):
+        x = take_batch(arrays["inputs"], idx)
+        gt = take_batch(arrays["labels_scaled"], idx)
+        factor = take_batch(arrays["factors"], idx)
+        res = take_batch(arrays["res"], idx)
+
+        x = truncate_channels(x, input_channel_number)
+        pred = tta_forward(model, params, state, x, flip)
+        pred = pred.at[:, :, 0, :].set(0.0)  # root-zero BEFORE denorm (`:55`)
+        pred = denormalize_device(pred, res)
+        pred = pred * factor[:, :, None, None]
+        pred = pred - pred[:, :, 0:1, :]
+        gt = gt - gt[:, :, 0:1, :]
+
+        return {
+            "mpjpe": jax.vmap(M.mpjpe)(pred, gt),  # (B, T)
+            "jpe": jax.vmap(M.jpe)(pred, gt),  # (B, T, 17)
+            "acc_err": jax.vmap(M.acceleration_error)(pred, gt),  # (B, T-2)
+            "p_mpjpe": jax.vmap(M.p_mpjpe)(pred, gt),  # (B, T)
+        }
+
+    return step
+
+
+class Evaluator:
+    """Batched evaluator over a test ClipSet."""
+
+    def __init__(self, model, clipset: ClipSet, batch_size: int = 128,
+                 flip: bool = True, input_channel_number: int = 3,
+                 batch_sharding=None):
+        if clipset.labels_scaled is None:
+            raise ValueError("test ClipSet lacks scaled labels")
+        self.model = model
+        self.actions = np.asarray(clipset.actions)
+        self.arrays = device_put_clipset(clipset)
+        self.plan = epoch_plan(len(clipset), batch_size)
+        self.step = make_eval_step(model, flip, input_channel_number)
+        self.batch_sharding = batch_sharding
+
+    def run(self, params, state) -> dict[str, Any]:
+        """Full evaluation; returns the reference's result dict
+        (`train_and_evaluate_sp.py:129-136`) plus upper/lower-body means."""
+        per_action = defaultdict(list)
+        per_action_p = defaultdict(list)
+        per_action_acc = defaultdict(list)
+        per_action_joint = [defaultdict(list) for _ in range(NUM_JOINTS)]
+
+        for s in range(self.plan.steps):
+            idx = jnp.asarray(self.plan.indices[s])
+            if self.batch_sharding is not None:
+                idx = jax.device_put(idx, self.batch_sharding)
+            out = self.step(params, state, self.arrays, idx)
+            out = jax.tree.map(np.asarray, out)
+            w = self.plan.weights[s]
+            for b in range(len(idx)):
+                if w[b] == 0:
+                    continue
+                action = str(self.actions[self.plan.indices[s][b]])
+                per_action[action].extend(out["mpjpe"][b])
+                per_action_p[action].extend(out["p_mpjpe"][b])
+                per_action_acc[action].extend(out["acc_err"][b])
+                for j in range(NUM_JOINTS):
+                    per_action_joint[j][action].extend(out["jpe"][b, :, j])
+
+        # Action-balanced reduction: mean per action, then mean over actions
+        # (`train_and_evaluate_sp.py:105-127`).
+        action_names = list(per_action.keys())
+        mpjpe_per_action = [float(np.mean(per_action[a])) for a in action_names]
+        p_mpjpe_per_action = [float(np.mean(per_action_p[a])) for a in action_names]
+        acc_per_action = [float(np.mean(per_action_acc[a])) for a in action_names]
+        joint_per_action = np.array(
+            [[float(np.mean(per_action_joint[j][a])) for a in action_names]
+             for j in range(NUM_JOINTS)])
+        mpjpe_per_joint = joint_per_action.mean(axis=1)
+
+        return {
+            "mpjpe": float(np.mean(mpjpe_per_action)),
+            "p_mpjpe": float(np.mean(p_mpjpe_per_action)),
+            "acceleration_error": float(np.mean(acc_per_action)),
+            "activity_name_sequence": action_names,
+            "mpjpe_activity": mpjpe_per_action,
+            "mpjpe_joint": mpjpe_per_joint,
+            "upper_body_mpjpe": float(np.mean(mpjpe_per_joint[list(UPPER_BODY_JOINTS)])),
+            "lower_body_mpjpe": float(np.mean(mpjpe_per_joint[list(LOWER_BODY_JOINTS)])),
+        }
+
+
+def format_eval_report(result: dict[str, Any]) -> str:
+    """Human-readable per-action / per-joint tables
+    (≙ `train_and_evaluate_sp.py:138-147`, `:189-199`)."""
+    lines = [
+        f"Protocol #1 Error (MPJPE): {result['mpjpe']} mm",
+        f"Protocol #2 Error (P-MPJPE): {result['p_mpjpe']} mm",
+        f"Acceleration Error: {result['acceleration_error']} mm/frame^2",
+        "-- per activity --",
+    ]
+    for name, value in zip(result["activity_name_sequence"], result["mpjpe_activity"]):
+        lines.append(f"  {name}: {value}")
+    lines.append(f"-- per joint (upper body mean {result['upper_body_mpjpe']:.3f}, "
+                 f"lower body mean {result['lower_body_mpjpe']:.3f}) --")
+    for j, err in enumerate(result["mpjpe_joint"]):
+        lines.append(f"  {j:2d} {JOINT_LABELS[j]}: {err}")
+    return "\n".join(lines)

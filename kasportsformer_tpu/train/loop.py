@@ -1,0 +1,310 @@
+"""Training loop: jitted train step, LR schedule, epoch driver.
+
+Rebuilds the reference recipe (`train_and_evaluate_sp.py:201-402`) as one
+compiled XLA program per step plus a thin host loop:
+
+* the train step fuses batch gather + flip augmentation + forward + loss +
+  backward + AdamW update in a single jit (the reference crosses the host
+  boundary per batch for data movement and loss logging);
+* AdamW(5e-4, wd 0.01) via optax with an injected learning-rate hyperparam so
+  the host-side schedule (10-epoch linear warmup from lr/100 +
+  ReduceLROnPlateau(factor 0.9, patience 2) stepping only after warmup —
+  `:325-329`, `:393-397`) mutates a scalar, not the compiled program;
+* partial final batches use wraparound padding + weight masks, so every step
+  has one static shape; weighted means make the padded samples inert;
+* early stop after `training_epoch_patience` non-improving epochs (`:399-402`);
+* per-epoch checkpoointing: orbax native (best + latest) with a correct
+  resume schema (the reference's resume has mismatched save/load keys,
+  SURVEY.md §5.4 — fixed here by construction).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from kasportsformer_tpu.config import Config
+from kasportsformer_tpu.data.clips import ClipSet
+from kasportsformer_tpu.data.pipeline import (
+    device_put_clipset,
+    epoch_plan,
+    random_flip_batch,
+    take_batch,
+    truncate_channels,
+)
+from kasportsformer_tpu.train import checkpoint as ckpt
+from kasportsformer_tpu.train.evaluator import Evaluator
+from kasportsformer_tpu.train.losses import (
+    mpjpe_loss,
+    n_mpjpe_loss,
+    velocity_loss,
+)
+from kasportsformer_tpu.utils.common import AverageMeter, get_logger
+
+
+# ------------------------------------------------------------ weighted loss
+
+
+def _per_sample(fn: Callable, predict: jnp.ndarray, target: jnp.ndarray
+                ) -> jnp.ndarray:
+    """Apply a (1-sample-batch) loss per sample -> (B,) via vmap."""
+    return jax.vmap(lambda p, t: fn(p[None], t[None]))(predict, target)
+
+
+def weighted_total_loss(predict: jnp.ndarray, target: jnp.ndarray,
+                        weights: jnp.ndarray, lambda_n_mpjpe: float,
+                        lambda_mpjpe_velocity: float
+                        ) -> tuple[jnp.ndarray, dict[str, jnp.ndarray]]:
+    """Reference objective (`train_and_evaluate_sp.py:212-222`) with a
+    per-sample 0/1 weight so padded samples contribute nothing. With all
+    weights 1 this equals the unweighted loss exactly (all clips share T, J).
+    """
+    w = weights / jnp.maximum(jnp.sum(weights), 1.0)
+    l_mpjpe = jnp.sum(_per_sample(mpjpe_loss, predict, target) * w)
+    l_n = jnp.sum(_per_sample(n_mpjpe_loss, predict, target) * w)
+    l_vel = jnp.sum(_per_sample(velocity_loss, predict, target) * w)
+    total = l_mpjpe + lambda_n_mpjpe * l_n + lambda_mpjpe_velocity * l_vel
+    return total, {
+        "loss_mpjpe": l_mpjpe,
+        "loss_n_mpjpe": l_n,
+        "loss_velocity": l_vel,
+        "loss_total": total,
+    }
+
+
+# ------------------------------------------------------------ optimizer
+
+
+def make_optimizer(config: Config) -> optax.GradientTransformation:
+    """AdamW matching torch defaults (betas 0.9/0.999, eps 1e-8), decay on
+    all params (the reference passes the full parameter list,
+    `train_and_evaluate_sp.py:270-272`). The learning rate is injected so the
+    host schedule can set it between steps."""
+    return optax.inject_hyperparams(optax.adamw)(
+        learning_rate=config.learning_rate,
+        b1=0.9, b2=0.999, eps=1e-8,
+        weight_decay=config.weight_decay,
+    )
+
+
+def set_learning_rate(opt_state, lr: float):
+    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    return opt_state
+
+
+def get_learning_rate(opt_state) -> float:
+    return float(opt_state.hyperparams["learning_rate"])
+
+
+class ReduceLROnPlateau:
+    """torch.optim.lr_scheduler.ReduceLROnPlateau semantics (mode='min',
+    threshold 1e-4 rel, cooldown 0) as used at
+    `train_and_evaluate_sp.py:273`."""
+
+    def __init__(self, factor: float = 0.9, patience: int = 2,
+                 threshold: float = 1e-4):
+        self.factor = factor
+        self.patience = patience
+        self.threshold = threshold
+        self.best = math.inf
+        self.num_bad_epochs = 0
+
+    def step(self, metric: float, lr: float) -> float:
+        if metric < self.best * (1 - self.threshold):
+            self.best = metric
+            self.num_bad_epochs = 0
+        else:
+            self.num_bad_epochs += 1
+        if self.num_bad_epochs > self.patience:
+            lr = lr * self.factor
+            self.num_bad_epochs = 0
+        return lr
+
+    def state_dict(self) -> dict:
+        return {"best": self.best, "num_bad_epochs": self.num_bad_epochs}
+
+    def load_state_dict(self, sd: dict) -> None:
+        self.best = sd["best"]
+        self.num_bad_epochs = sd["num_bad_epochs"]
+
+
+def warmup_lr(config: Config, epoch: int) -> float | None:
+    """Linear warmup from lr/100 over `warmup_epoches` epochs; the reference
+    applies it while epoch <= warmup_epoches (`:325-329`)."""
+    if config.warmup and epoch <= config.warmup_epoches:
+        start = config.learning_rate / 100
+        return start + (config.learning_rate - start) * (epoch / config.warmup_epoches)
+    return None
+
+
+# ------------------------------------------------------------ train step
+
+
+def make_train_step(model, config: Config, optimizer: optax.GradientTransformation):
+    """One fused jitted step: gather -> augment -> forward -> loss -> grads
+    -> AdamW. Under a mesh, sharding propagates from the donated params /
+    batch shardings; gradient all-reduce rides ICI automatically."""
+
+    def loss_fn(params, state, x, y, weights):
+        pred, new_state = model.apply(params, state, x, train=True)
+        total, comps = weighted_total_loss(
+            pred, y, weights, config.lambda_n_mpjpe, config.lambda_mpjpe_velocity)
+        return total, (comps, new_state)
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    @jax.jit
+    def step(params, state, opt_state, arrays, idx, weights, key):
+        x = take_batch(arrays["inputs"], idx)
+        y = take_batch(arrays["labels"], idx)
+        if config.flip:
+            x, y = random_flip_batch(key, x, y)
+        x = truncate_channels(x, config.input_channel_number)
+        (_, (comps, new_state)), grads = grad_fn(params, state, x, y, weights)
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return new_params, new_state, new_opt_state, comps
+
+    return step
+
+
+# ------------------------------------------------------------ trainer
+
+
+class Trainer:
+    """Epoch driver: train → evaluate → checkpoint → schedule → early-stop,
+    with the reference's logging keys (SURVEY.md §5.5)."""
+
+    def __init__(self, config: Config, model, train_set: ClipSet,
+                 test_set: ClipSet, log=None, metric_sink=None):
+        self.config = config
+        self.model = model
+        self.log = log or get_logger(config.logger_dir_path, config.logger_file_name)
+        self.metric_sink = metric_sink  # callable(dict, step) — wandb-shaped
+        self.train_arrays = device_put_clipset(train_set)
+        self.n_train = len(train_set)
+        self.optimizer = make_optimizer(config)
+        self.train_step = make_train_step(model, config, self.optimizer)
+        eval_bs = config.eval_batch_size or config.batch_size
+        self.evaluator = Evaluator(
+            model, test_set, batch_size=eval_bs, flip=config.flip,
+            input_channel_number=config.input_channel_number)
+        self.rng = np.random.default_rng(config.seed)
+
+    def fit(self, params, state, epochs: int | None = None,
+            epoch_start: int = 0, min_mpjpe: float = math.inf):
+        config = self.config
+        opt_state = self.optimizer.init(params)
+        scheduler = ReduceLROnPlateau(factor=config.learning_rate_decay, patience=2)
+        lr = config.learning_rate
+        patience_count = 0
+        best_epoch = epoch_start
+        root_key = jax.random.key(config.seed)
+        epochs = config.epochs if epochs is None else epochs
+
+        for epoch in range(epoch_start, epochs):
+            self.log.info(f"train epoch: {epoch + 1} ...")
+            wu = warmup_lr(config, epoch)
+            if wu is not None:
+                lr = wu
+            set_learning_rate(opt_state, lr)
+
+            meters = {k: AverageMeter() for k in
+                      ("loss_mpjpe", "loss_n_mpjpe", "loss_velocity", "loss_total")}
+            plan = epoch_plan(self.n_train, config.batch_size, self.rng)
+            epoch_key = jax.random.fold_in(root_key, epoch)
+            t0 = time.time()
+            for s in range(plan.steps):
+                step_key = jax.random.fold_in(epoch_key, s)
+                params, state, opt_state, comps = self.train_step(
+                    params, state, opt_state,
+                    self.train_arrays, jnp.asarray(plan.indices[s]),
+                    jnp.asarray(plan.weights[s]), step_key)
+                n_real = int(plan.weights[s].sum())
+                for k, meter in meters.items():
+                    meter.update(float(comps[k]), n_real)
+            train_time = time.time() - t0
+
+            result = self.evaluator.run(params, state)
+            mpjpe = result["mpjpe"]
+            self.log.info(
+                f"epoch {epoch + 1}: MPJPE {mpjpe} mm  P-MPJPE {result['p_mpjpe']} mm  "
+                f"accel {result['acceleration_error']}  "
+                f"loss {meters['loss_total'].avg:.5f}  "
+                f"({plan.steps} steps in {train_time:.1f}s)")
+
+            improved = mpjpe < min_mpjpe
+            if improved:
+                min_mpjpe = mpjpe
+                patience_count = 0
+                best_epoch = epoch
+                self._save(params, state, opt_state, scheduler, epoch, lr,
+                           min_mpjpe, tag="best")
+            else:
+                patience_count += 1
+            self._save(params, state, opt_state, scheduler, epoch, lr,
+                       min_mpjpe, tag="latest")
+
+            self._log_metrics(epoch, lr, meters, result, min_mpjpe)
+
+            # scheduler steps only after warmup (`:393-397`)
+            if not config.warmup or epoch > config.warmup_epoches:
+                lr = scheduler.step(mpjpe, lr)
+
+            if patience_count >= config.training_epoch_patience:
+                self.log.info(
+                    f"No improvement for {patience_count} epochs, early stop. "
+                    f"Min MPJPE {min_mpjpe} at epoch {best_epoch + 1}")
+                break
+
+        return params, state, {"min_mpjpe": min_mpjpe, "best_epoch": best_epoch}
+
+    # -- helpers ---------------------------------------------------------
+    def _log_metrics(self, epoch, lr, meters, result, min_mpjpe):
+        payload = {
+            "learning_rate": lr,
+            "train/loss_mpjpe": meters["loss_mpjpe"].avg,
+            "train/loss_n_mpjpe": meters["loss_n_mpjpe"].avg,
+            "train/loss_velocity": meters["loss_velocity"].avg,
+            "train/loss_total": meters["loss_total"].avg,
+            "eval/mpjpe": result["mpjpe"],
+            "eval/p-mpjpe": result["p_mpjpe"],
+            "eval/min_mpjpe": min_mpjpe,
+            "eval/acceleration_error": result["acceleration_error"],
+            "eval_additional/upper_body_mpjpe": result["upper_body_mpjpe"],
+            "eval_additional/lower_body_mpjpe": result["lower_body_mpjpe"],
+        }
+        from kasportsformer_tpu.skeleton import JOINT_LABELS
+
+        for j, label in enumerate(JOINT_LABELS):
+            payload[f"eval_joint/{label}"] = float(result["mpjpe_joint"][j])
+        for name, value in zip(result["activity_name_sequence"],
+                               result["mpjpe_activity"]):
+            payload[f"eval_activity/{name}"] = value
+        if self.metric_sink is not None:
+            self.metric_sink(payload, epoch + 1)
+
+    def _save(self, params, state, opt_state, scheduler, epoch, lr,
+              min_mpjpe, tag: str):
+        directory = os.path.join(self.config.new_checkpoint_dir,
+                                 f"{self.config.new_checkpoint_name}_{tag}")
+        payload = {
+            "params": params,
+            "state": state,
+            "opt_state": opt_state,
+            "meta": {
+                "epoch": np.int64(epoch + 1),
+                "learning_rate": np.float64(lr),
+                "min_mpjpe": np.float64(min_mpjpe),
+                "scheduler_best": np.float64(scheduler.best),
+                "scheduler_bad_epochs": np.int64(scheduler.num_bad_epochs),
+            },
+        }
+        ckpt.save_native(directory, 0, payload)

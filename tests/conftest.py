@@ -58,12 +58,32 @@ def enable_reference_imports() -> None:
         easydict.EasyDict = EasyDict
         sys.modules["easydict"] = easydict
 
+    if "wandb" not in sys.modules:
+        wandb = types.ModuleType("wandb")
+        wandb_util = types.ModuleType("wandb.util")
+        wandb_util.generate_id = lambda: "stub-id"
+        wandb.util = wandb_util
+        wandb.init = lambda *a, **k: None
+        wandb.log = lambda *a, **k: None
+        wandb.Settings = lambda *a, **k: None
+        wandb.config = types.SimpleNamespace(update=lambda *a, **k: None)
+        sys.modules["wandb"] = wandb
+        sys.modules["wandb.util"] = wandb_util
+
+    if "torchprofile" not in sys.modules:
+        torchprofile = types.ModuleType("torchprofile")
+        torchprofile.profile_macs = lambda *a, **k: 0
+        sys.modules["torchprofile"] = torchprofile
+
     if "timm" not in sys.modules:
         import torch.nn as nn
 
         timm = types.ModuleType("timm")
         timm_models = types.ModuleType("timm.models")
         timm_layers = types.ModuleType("timm.models.layers")
+        timm_helpers = types.ModuleType("timm.models.helpers")
+        timm_registry = types.ModuleType("timm.models.registry")
+        timm_data = types.ModuleType("timm.data")
 
         class DropPath(nn.Module):
             """Stochastic depth; all reference configs use drop_path=0 so the
@@ -76,9 +96,30 @@ def enable_reference_imports() -> None:
             def forward(self, x):
                 return x
 
+        def _trunc_normal_(tensor, mean=0.0, std=1.0, a=-2.0, b=2.0):
+            import torch
+
+            with torch.no_grad():
+                tensor.normal_(mean, std).clamp_(a * std, b * std)
+            return tensor
+
         timm_layers.DropPath = DropPath
+        timm_layers.to_2tuple = lambda x: x if isinstance(x, tuple) else (x, x)
+        timm_layers.trunc_normal_ = _trunc_normal_
+        timm_helpers.load_pretrained = lambda *a, **k: None
+        timm_registry.register_model = lambda fn: fn
+        timm_data.IMAGENET_DEFAULT_MEAN = (0.485, 0.456, 0.406)
+        timm_data.IMAGENET_DEFAULT_STD = (0.229, 0.224, 0.225)
         timm_models.layers = timm_layers
+        timm_models.helpers = timm_helpers
+        timm_models.registry = timm_registry
         timm.models = timm_models
-        sys.modules["timm"] = timm
-        sys.modules["timm.models"] = timm_models
-        sys.modules["timm.models.layers"] = timm_layers
+        timm.data = timm_data
+        timm.__path__ = []  # mark as package so 'from timm.data import ...' works
+        timm_models.__path__ = []
+        for name, mod in (("timm", timm), ("timm.models", timm_models),
+                          ("timm.models.layers", timm_layers),
+                          ("timm.models.helpers", timm_helpers),
+                          ("timm.models.registry", timm_registry),
+                          ("timm.data", timm_data)):
+            sys.modules[name] = mod

@@ -1,0 +1,198 @@
+"""End-to-end gates:
+
+1. Eval parity: our jitted Evaluator vs the reference's evaluate_one_epoch_new
+   (same converted weights, same clip files) — MPJPE delta must be far under
+   the 0.1 mm north-star gate.
+2. Train smoke: a few steps reduce the loss; schedule semantics.
+3. Data-parallel: the train step under an 8-device mesh matches single-device.
+"""
+
+import logging
+import math
+import os
+import pickle
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from kasportsformer_tpu.config import Config
+from kasportsformer_tpu.data import clips as clips_mod
+from kasportsformer_tpu.data import sources
+from kasportsformer_tpu.models.kasportsformer import (
+    KASportsFormer,
+    KASportsFormerConfig,
+)
+from kasportsformer_tpu.train.evaluator import Evaluator, format_eval_report
+from tests.conftest import enable_reference_imports, reference_available
+from tests.fixtures import make_source
+
+
+def _tiny_model():
+    cfg = KASportsFormerConfig(n_layers=2, dim_feat=32, dim_rep=64, num_heads=4)
+    return KASportsFormer(cfg)
+
+
+def _clipsets(seed=0):
+    import tempfile
+    src = make_source("sportspose", train_video_lens=(36, 45, 63, 45),
+                      test_video_lens=(27, 54), seed=seed)
+    with tempfile.NamedTemporaryFile(suffix=".pkl", delete=False) as f:
+        pickle.dump(src, f)
+        path = f.name
+    reader = sources.PoseSourceReader(path, "sportspose", n_frames=27, seed=1)
+    train_d, test_d = reader.get_sliced_data()
+    os.unlink(path)
+    return clips_mod.clipsets_from_sliced(train_d, test_d)
+
+
+def test_evaluator_runs_and_reports():
+    model = _tiny_model()
+    params, state = model.init(jax.random.key(0))
+    _, test_set = _clipsets()
+    ev = Evaluator(model, test_set, batch_size=2, flip=True)
+    result = ev.run(params, state)
+    assert result["mpjpe"] > 0 and math.isfinite(result["mpjpe"])
+    assert len(result["mpjpe_joint"]) == 17
+    assert set(result["activity_name_sequence"]) == set(np.unique(test_set.actions))
+    report = format_eval_report(result)
+    assert "Protocol #1" in report and "per joint" in report
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference repo not mounted")
+def test_eval_parity_with_reference(tmp_path):
+    """North-star gate (synthetic data, full-size model, converted weights):
+    reference evaluate_one_epoch_new vs our Evaluator."""
+    torch = pytest.importorskip("torch")
+    enable_reference_imports()
+    from easydict import EasyDict
+    from data.reader.sp_dataset import SportsPose3DDataset
+    from torch.utils.data import DataLoader
+    import train_and_evaluate_sp as ref_driver
+
+    from kasportsformer_tpu.train.checkpoint import torch_state_dict_to_params
+    from model.KASportsFormer import KASportsFormer as TorchKASF
+
+    torch.manual_seed(3)
+    tmodel = TorchKASF(n_layers=2, dim_feat=32, dim_rep=64, num_heads=4)
+    tmodel.eval()
+
+    train_set, test_set = _clipsets(seed=3)
+    root = tmp_path / "clips" / "SPgt-27"
+    clips_mod.write_reference_clip_files(str(root), test_set)
+
+    args = EasyDict(model_name="KASportsFormer", input_channel_number=3,
+                    data_root=str(tmp_path / "clips"), flip=True,
+                    clip_set_name="SPgt-27", eval_only=True, num_joints=17)
+    loader = DataLoader(
+        SportsPose3DDataset(args_dict=args, data_split="test"),
+        shuffle=False, batch_size=4, num_workers=0)
+    ref_result = ref_driver.evaluate_one_epoch_new(
+        args, tmodel, loader, "cpu", -1, logging.getLogger("ref"))
+
+    params, state = torch_state_dict_to_params(tmodel.state_dict(), n_layers=2)
+    jmodel = KASportsFormer(KASportsFormerConfig(
+        n_layers=2, dim_feat=32, dim_rep=64, num_heads=4))
+    ours = Evaluator(jmodel, test_set, batch_size=4, flip=True).run(params, state)
+
+    assert abs(ours["mpjpe"] - ref_result["mpjpe"]) < 1e-3  # mm
+    assert abs(ours["p_mpjpe"] - ref_result["p_mpjpe"]) < 1e-3
+    assert abs(ours["acceleration_error"] - ref_result["acceleration_error"]) < 1e-3
+    np.testing.assert_allclose(
+        np.asarray(ours["mpjpe_joint"]), np.asarray(ref_result["mpjpe_joint"]),
+        atol=1e-3)
+    # per-activity values match regardless of set-iteration order
+    ref_by_action = dict(zip(ref_result["activity_name_sequence"],
+                             ref_result["mpjpe_activity"]))
+    ours_by_action = dict(zip(ours["activity_name_sequence"], ours["mpjpe_activity"]))
+    assert set(ref_by_action) == set(ours_by_action)
+    for action, value in ref_by_action.items():
+        assert abs(ours_by_action[action] - value) < 1e-3
+
+
+def test_train_step_reduces_loss():
+    from kasportsformer_tpu.data.pipeline import device_put_clipset, epoch_plan
+    from kasportsformer_tpu.train.loop import make_optimizer, make_train_step
+
+    config = Config(batch_size=8, flip=True, learning_rate=3e-3)
+    model = _tiny_model()
+    params, state = model.init(jax.random.key(0))
+    train_set, _ = _clipsets()
+    arrays = device_put_clipset(train_set)
+    optimizer = make_optimizer(config)
+    opt_state = optimizer.init(params)
+    step = make_train_step(model, config, optimizer)
+
+    # overfit one fixed batch: loss must collapse (slowly at first — the
+    # 1e-5 LayerScale init makes the trunk near-identity, as in the reference)
+    idx = jnp.arange(8, dtype=jnp.int32)
+    w = jnp.ones(8, jnp.float32)
+    losses = []
+    for s in range(150):
+        params, state, opt_state, comps = step(
+            params, state, opt_state, arrays, idx, w, jax.random.key(0))
+        losses.append(float(comps["loss_total"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.5, (losses[0], losses[-1])
+
+
+def test_lr_schedule_semantics():
+    from kasportsformer_tpu.train.loop import ReduceLROnPlateau, warmup_lr
+
+    config = Config(learning_rate=0.0005, warmup=True, warmup_epoches=10)
+    # warmup: epoch 0 -> lr/100; epoch 10 -> full lr; epoch 11 -> None
+    assert warmup_lr(config, 0) == pytest.approx(0.0005 / 100)
+    assert warmup_lr(config, 10) == pytest.approx(0.0005)
+    assert warmup_lr(config, 11) is None
+
+    sched = ReduceLROnPlateau(factor=0.9, patience=2)
+    lr = 1.0
+    lr = sched.step(10.0, lr)  # first metric becomes best
+    assert lr == 1.0
+    for _ in range(2):  # two bad epochs tolerated
+        lr = sched.step(10.0, lr)
+    assert lr == 1.0
+    lr = sched.step(10.0, lr)  # third bad epoch -> decay
+    assert lr == pytest.approx(0.9)
+    lr = sched.step(5.0, lr)  # improvement resets
+    assert lr == pytest.approx(0.9)
+
+
+def test_train_step_data_parallel_matches_single_device():
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from kasportsformer_tpu import parallel
+    from kasportsformer_tpu.data.pipeline import device_put_clipset
+    from kasportsformer_tpu.train.loop import make_optimizer, make_train_step
+
+    assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
+    config = Config(batch_size=8, flip=False, learning_rate=1e-3)
+    model = _tiny_model()
+    params, state = model.init(jax.random.key(0))
+    train_set, _ = _clipsets()
+    arrays = device_put_clipset(train_set)
+    optimizer = make_optimizer(config)
+    step = make_train_step(model, config, optimizer)
+    idx = jnp.arange(8, dtype=jnp.int32)
+    w = jnp.ones(8, jnp.float32)
+    key = jax.random.key(42)
+
+    # single device
+    p1, s1, o1, c1 = step(params, state, optimizer.init(params), arrays, idx, w, key)
+
+    # 8-device data-parallel mesh: batch index sharded, params replicated
+    mesh = parallel.make_mesh(data=8, model=1)
+    bsh = parallel.batch_sharding(mesh)
+    rep = parallel.replicated(mesh)
+    params_r = jax.device_put(params, rep)
+    state_r = jax.device_put(state, rep)
+    arrays_r = {k: jax.device_put(v, rep) for k, v in arrays.items()}
+    idx_s = jax.device_put(idx, bsh)
+    w_s = jax.device_put(w, bsh)
+    p8, s8, o8, c8 = step(params_r, state_r, optimizer.init(params_r),
+                          arrays_r, idx_s, w_s, key)
+
+    assert float(c1["loss_total"]) == pytest.approx(float(c8["loss_total"]), rel=1e-5)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
