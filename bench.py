@@ -1,0 +1,68 @@
+"""Driver benchmark: 27-frame clips/sec/chip, lift inference (flagship model).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "clips/s", "vs_baseline": N}
+
+Baseline (BASELINE.md): reference PyTorch KASportsFormer on this container's
+CPU ≈ 1.67 clips/s (batch 2, eager fp32, single forward per clip — the
+`model/model_tools.py:147-157` harness). Same quantity here: single forward
+(no TTA), full-size 29.4M-param model, measured on the real TPU chip, batch
+size swept, bf16 activations (params f32; output head in f32).
+"""
+
+import json
+import sys
+import time
+
+BASELINE_CLIPS_PER_SEC = 1.67
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from kasportsformer_tpu.models.kasportsformer import KASportsFormer
+
+    dev = jax.devices()[0]
+    print(f"bench device: {dev}", file=sys.stderr)
+
+    model = KASportsFormer(compute_dtype=jnp.bfloat16)
+    params, state = model.init(jax.random.key(0))
+
+    fwd = jax.jit(lambda p, s, x: model.apply(p, s, x, train=False)[0])
+    rng = np.random.default_rng(0)
+
+    best = 0.0
+    best_batch = None
+    for batch in (256, 1024, 4096):
+        x = jnp.asarray(rng.standard_normal((batch, 27, 17, 3)), jnp.float32)
+        try:
+            fwd(params, state, x).block_until_ready()  # compile + warm
+            times = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                fwd(params, state, x).block_until_ready()
+                times.append(time.perf_counter() - t0)
+            cps = batch / min(times)
+            print(f"batch {batch}: {cps:,.0f} clips/s "
+                  f"({min(times)*1e3:.2f} ms/batch)", file=sys.stderr)
+            if cps > best:
+                best, best_batch = cps, batch
+        except Exception as e:  # OOM at large batch etc.
+            print(f"batch {batch}: failed ({type(e).__name__}: {e})",
+                  file=sys.stderr)
+            break
+
+    print(json.dumps({
+        "metric": "27-frame clips/sec/chip (lift inference, KASportsFormer 29.4M, bf16)",
+        "value": round(best, 2),
+        "unit": "clips/s",
+        "vs_baseline": round(best / BASELINE_CLIPS_PER_SEC, 2),
+        "batch_size": best_batch,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

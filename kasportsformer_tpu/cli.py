@@ -1,0 +1,280 @@
+"""Command-line interface.
+
+Covers the reference's four entry points under one binary
+(`python -m kasportsformer_tpu <cmd>`):
+
+* `train` / `evaluate` ≙ `train_and_evaluate_sp.py` / `_wp.py` (dispatch on
+  the config's dataset; `eval_only` in the YAML also works, like the
+  reference's `main()` at `train_and_evaluate_sp.py:412-423`);
+* `preprocess` ≙ `data/preprocessor/clip_generate_{sp,wp}.py`;
+* `bench` ≙ the `model/model_tools.py:109-157` param/FLOPs/FPS harness.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _jax():
+    import jax
+
+    return jax
+
+
+def cmd_train(args: argparse.Namespace) -> int:
+    jax = _jax()
+    from kasportsformer_tpu.config import load_config
+    from kasportsformer_tpu.data.clips import load_split
+    from kasportsformer_tpu.models import build_model
+    from kasportsformer_tpu.train.loop import Trainer
+    from kasportsformer_tpu.utils.common import get_logger, seed_everything
+
+    config = load_config(args.config_path)
+    if config.eval_only:
+        return cmd_evaluate(args)
+    seed_everything(config.seed)
+    log = get_logger(config.logger_dir_path, config.logger_file_name)
+
+    train_set = load_split(config.data_root, config.clip_set_name, "train")
+    test_set = load_split(config.data_root, config.clip_set_name, "test")
+    log.info(f"clips: train {len(train_set)}, test {len(test_set)}")
+
+    model = build_model(config)
+    params, state = model.init(jax.random.key(config.seed))
+    log.info(f"model {config.model_name}: {model.parameter_count(params):,} params")
+
+    epoch_start, min_mpjpe = 0, float("inf")
+    if config.checkpoint:
+        params, state, epoch_start, min_mpjpe = _load_train_checkpoint(
+            config, params, state, log)
+
+    metric_sink = _wandb_sink(config, log)
+    trainer = Trainer(config, model, train_set, test_set, log=log,
+                      metric_sink=metric_sink)
+    trainer.fit(params, state, epoch_start=epoch_start, min_mpjpe=min_mpjpe)
+    return 0
+
+
+def _load_train_checkpoint(config, params, state, log):
+    """Weights-only load (`checkpoint: true`) or full resume
+    (`resume: true`) — reference semantics (`train_and_evaluate_sp.py:285-301`)
+    with a consistent schema."""
+    from kasportsformer_tpu.train import checkpoint as ckpt
+
+    epoch_start, min_mpjpe = 0, float("inf")
+    path = os.path.join(config.checkpoint_dir, config.checkpoint_file_name)
+    if path.endswith(".pth") and os.path.exists(path):
+        sd = ckpt.load_torch_checkpoint(path)
+        params, state = ckpt.torch_state_dict_to_params(sd, config.n_layers)
+        log.info(f"torch checkpoint loaded ({path})")
+        return params, state, epoch_start, min_mpjpe
+    if os.path.isdir(path):
+        payload = ckpt.restore_native(path, 0)
+        params, state = payload["params"], payload["state"]
+        if config.resume:
+            epoch_start = int(payload["meta"]["epoch"])
+            min_mpjpe = float(payload["meta"]["min_mpjpe"])
+        log.info(f"native checkpoint loaded ({path}), resume={config.resume}")
+        return params, state, epoch_start, min_mpjpe
+    raise FileNotFoundError(f"checkpoint path is wrong: {path}")
+
+
+def _wandb_sink(config, log):
+    if not config.use_wandb:
+        return None
+    try:
+        import wandb
+    except ImportError:
+        log.warning("use_wandb=true but wandb is not installed; metrics go to "
+                    "the log file only")
+        return None
+    run_id = config.wandb_run_id or wandb.util.generate_id()
+    wandb.init(id=run_id, name=config.wandb_name,
+               project=config.wandb_project_name,
+               resume="must" if config.resume else None)
+    return lambda payload, step: wandb.log(payload, step=step)
+
+
+def cmd_evaluate(args: argparse.Namespace) -> int:
+    jax = _jax()
+    from kasportsformer_tpu.config import load_config
+    from kasportsformer_tpu.data.clips import load_split
+    from kasportsformer_tpu.models import build_model
+    from kasportsformer_tpu.train import checkpoint as ckpt
+    from kasportsformer_tpu.train.evaluator import Evaluator, format_eval_report
+    from kasportsformer_tpu.utils.common import get_logger, seed_everything
+
+    config = load_config(args.config_path)
+    seed_everything(config.seed)
+    log = get_logger(config.logger_dir_path,
+                     f"{config.config_name}_evaluate.log")
+
+    test_set = load_split(config.data_root, config.clip_set_name, "test")
+    model = build_model(config)
+
+    ckpt_path = getattr(args, "checkpoint", None) or os.path.join(
+        config.evaluate_checkpoint_file_dir, config.evaluate_checkpoint_file)
+    if ckpt_path.endswith(".pth"):
+        if not os.path.exists(ckpt_path):
+            raise FileNotFoundError(
+                f"evaluation checkpoint is wrong, check your configuration: {ckpt_path}")
+        sd = ckpt.load_torch_checkpoint(ckpt_path)
+        params, state = ckpt.torch_state_dict_to_params(sd, config.n_layers)
+    elif os.path.isdir(ckpt_path):
+        payload = ckpt.restore_native(ckpt_path, 0)
+        params, state = payload["params"], payload["state"]
+    else:
+        raise FileNotFoundError(
+            f"evaluation checkpoint is wrong, check your configuration: {ckpt_path}")
+
+    log.info(f"model {config.model_name}: {model.parameter_count(params):,} params")
+    evaluator = Evaluator(
+        model, test_set, batch_size=config.eval_batch_size or config.batch_size,
+        flip=config.flip, input_channel_number=config.input_channel_number)
+    result = evaluator.run(params, state)
+    log.info("\n" + format_eval_report(result))
+    print(json.dumps({k: v for k, v in result.items()
+                      if isinstance(v, (int, float))}))
+    return 0
+
+
+def cmd_preprocess(args: argparse.Namespace) -> int:
+    from kasportsformer_tpu.data.clips import (
+        clipsets_from_sliced,
+        clipstore_path,
+        save_clipstore,
+        write_reference_clip_files,
+    )
+    from kasportsformer_tpu.data.sources import PoseSourceReader
+
+    dataset = args.dataset
+    prefix = "SP" if dataset == "sportspose" else "WP"
+    flavor = {"det": "dete" if dataset == "sportspose" else "det",
+              "gt": "gt"}[args.data_type]
+    set_name = args.clip_set_name or f"{prefix}{flavor}-{args.n_frames}"
+
+    np.random.seed(args.seed)
+    reader = PoseSourceReader(
+        args.source_file, dataset, n_frames=args.n_frames,
+        data_stride_train=args.n_frames // 3, data_stride_test=args.n_frames)
+    train_d, test_d = reader.get_sliced_data()
+    train, test = clipsets_from_sliced(train_d, test_d)
+    print(f"train clips: {train.inputs.shape}, test clips: {test.inputs.shape}",
+          file=sys.stderr)
+
+    if args.reference_format:
+        root = os.path.join(args.output_root, set_name)
+        write_reference_clip_files(root, train)
+        write_reference_clip_files(root, test)
+        print(f"wrote reference-format clips under {root}", file=sys.stderr)
+    else:
+        for split, cs in (("train", train), ("test", test)):
+            path = clipstore_path(args.output_root, set_name, split)
+            save_clipstore(path, cs)
+            print(f"wrote {path}", file=sys.stderr)
+    return 0
+
+
+def cmd_bench(args: argparse.Namespace) -> int:
+    """Param count / FLOPs / throughput report
+    (≙ `model/model_tools.py:109-157`)."""
+    jax = _jax()
+    import jax.numpy as jnp
+
+    from kasportsformer_tpu.config import Config, load_config
+    from kasportsformer_tpu.models import build_model
+
+    config = (load_config(args.config_path) if args.config_path
+              else Config(compute_dtype=args.dtype))
+    if args.dtype:
+        config = config.replace(compute_dtype=args.dtype)
+    model = build_model(config)
+    params, state = model.init(jax.random.key(0))
+    n_params = model.parameter_count(params)
+
+    fwd = jax.jit(lambda p, s, x: model.apply(p, s, x, train=False)[0])
+    batch = args.batch_size
+    x = jnp.zeros((batch, config.n_frames, config.num_joints, config.dim_in),
+                  jnp.float32)
+    flops = _forward_flops(fwd, params, state, x)
+    fwd(params, state, x).block_until_ready()  # compile
+    times = []
+    for _ in range(args.iters):
+        t0 = time.perf_counter()
+        fwd(params, state, x).block_until_ready()
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    report = {
+        "model": config.model_name,
+        "params": n_params,
+        "flops_per_clip": flops / batch if flops else None,
+        "batch_size": batch,
+        "sec_per_batch": best,
+        "clips_per_sec": batch / best,
+        "device": str(jax.devices()[0]),
+        "dtype": config.compute_dtype,
+    }
+    print(json.dumps(report))
+    return 0
+
+
+def _forward_flops(fwd, params, state, x) -> float | None:
+    try:
+        analysis = fwd.lower(params, state, x).compile().cost_analysis()
+        if isinstance(analysis, (list, tuple)):
+            analysis = analysis[0]
+        return float(analysis.get("flops", 0.0)) or None
+    except Exception:
+        return None
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(prog="kasportsformer_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p_train = sub.add_parser("train", help="train (or eval if eval_only)")
+    p_train.add_argument("--config-path", required=True)
+    p_train.set_defaults(fn=cmd_train)
+
+    p_eval = sub.add_parser("evaluate", help="evaluate a checkpoint")
+    p_eval.add_argument("--config-path", required=True)
+    p_eval.add_argument("--checkpoint", default=None,
+                        help="override checkpoint path (.pth or orbax dir)")
+    p_eval.set_defaults(fn=cmd_evaluate)
+
+    p_prep = sub.add_parser("preprocess", help="generate clip stores")
+    p_prep.add_argument("--source-file", required=True)
+    p_prep.add_argument("--dataset", choices=["sportspose", "worldpose"],
+                        default="sportspose")
+    p_prep.add_argument("--data-type", choices=["det", "gt"], default="gt")
+    p_prep.add_argument("--n-frames", type=int, default=27)
+    p_prep.add_argument("--output-root", default="./data/clips")
+    p_prep.add_argument("--clip-set-name", default=None)
+    p_prep.add_argument("--reference-format", action="store_true",
+                        help="write one pkl per clip (reference layout)")
+    p_prep.add_argument("--seed", type=int, default=0)
+    p_prep.set_defaults(fn=cmd_preprocess)
+
+    p_bench = sub.add_parser("bench", help="params/FLOPs/throughput")
+    p_bench.add_argument("--config-path", default=None)
+    p_bench.add_argument("--batch-size", type=int, default=128)
+    p_bench.add_argument("--iters", type=int, default=10)
+    p_bench.add_argument("--dtype", default=None,
+                         choices=[None, "float32", "bfloat16"])
+    p_bench.set_defaults(fn=cmd_bench)
+    return parser
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

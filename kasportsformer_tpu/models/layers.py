@@ -119,15 +119,32 @@ def _unheads(x: jnp.ndarray) -> jnp.ndarray:
 def _sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
           axis: str) -> jnp.ndarray:
     """Scaled dot-product attention over the joint ('spatial') or frame
-    ('temporal') axis of (B, H, T, J, D) tensors. Softmax in float32."""
+    ('temporal') axis of (B, H, T, J, D) tensors. Softmax in float32.
+
+    Expressed as `lax.dot_general` with explicit (B,H,·) batch dims: the
+    equivalent multi-batch-dim einsums compile to a ~2000x-slower program on
+    TPU (measured: 63 s vs 32 ms for the spatial case at B=256 — einsum's
+    contraction planning inserts catastrophic transposes), while dot_general
+    maps straight onto batched MXU matmuls.
+    """
     if axis == "spatial":  # attend over J, independently per (B,H,T)
-        logits = jnp.einsum("bhtjd,bhtkd->bhtjk", q, k) * scale
+        # (bht)jd x (bht)kd -> (bht)jk
+        logits = jax.lax.dot_general(
+            q, k, (((4,), (4,)), ((0, 1, 2), (0, 1, 2)))) * scale
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
-        return jnp.einsum("bhtjk,bhtkd->bhtjd", probs, v)
+        # (bht)jk x (bht)kd -> (bht)jd
+        return jax.lax.dot_general(
+            probs, v, (((4,), (3,)), ((0, 1, 2), (0, 1, 2))))
     if axis == "temporal":  # attend over T, independently per (B,H,J)
-        logits = jnp.einsum("bhtjd,bhsjd->bhjts", q, k) * scale
+        qt = q.transpose(0, 1, 3, 2, 4)  # (B,H,J,T,D)
+        kt = k.transpose(0, 1, 3, 2, 4)
+        vt = v.transpose(0, 1, 3, 2, 4)
+        logits = jax.lax.dot_general(
+            qt, kt, (((4,), (4,)), ((0, 1, 2), (0, 1, 2)))) * scale
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
-        return jnp.einsum("bhjts,bhsjd->bhtjd", probs, v)
+        out = jax.lax.dot_general(
+            probs, vt, (((4,), (3,)), ((0, 1, 2), (0, 1, 2))))
+        return out.transpose(0, 1, 3, 2, 4)
     raise ValueError(axis)
 
 
