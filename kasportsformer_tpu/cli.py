@@ -24,6 +24,12 @@ import numpy as np
 def _jax():
     import jax
 
+    # KASF_PLATFORM overrides the JAX platform even when a sitecustomize has
+    # force-registered another backend (JAX_PLATFORMS alone is not enough in
+    # such environments — see .claude/skills/verify/SKILL.md).
+    platform = os.environ.get("KASF_PLATFORM")
+    if platform:
+        jax.config.update("jax_platforms", platform)
     return jax
 
 
@@ -75,7 +81,7 @@ def _load_train_checkpoint(config, params, state, log):
         log.info(f"torch checkpoint loaded ({path})")
         return params, state, epoch_start, min_mpjpe
     if os.path.isdir(path):
-        payload = ckpt.restore_native(path, 0)
+        payload = ckpt.restore_native(path)
         params, state = payload["params"], payload["state"]
         if config.resume:
             epoch_start = int(payload["meta"]["epoch"])
@@ -127,7 +133,7 @@ def cmd_evaluate(args: argparse.Namespace) -> int:
         sd = ckpt.load_torch_checkpoint(ckpt_path)
         params, state = ckpt.torch_state_dict_to_params(sd, config.n_layers)
     elif os.path.isdir(ckpt_path):
-        payload = ckpt.restore_native(ckpt_path, 0)
+        payload = ckpt.restore_native(ckpt_path)
         params, state = payload["params"], payload["state"]
     else:
         raise FileNotFoundError(

@@ -261,15 +261,23 @@ def save_native(directory: str, step: int, payload: Params) -> None:
         ckptr.save(os.path.join(directory, f"step_{step}"), payload, force=True)
 
 
-def restore_native(directory: str, step: int, template: Params | None = None) -> Params:
+def restore_native(directory: str, step: int | None = None,
+                   template: Params | None = None) -> Params:
+    """Restore from a checkpoint directory. Accepts either the parent dir
+    (picks `step` or, when None, the latest step) or a `step_N` dir itself."""
     import orbax.checkpoint as ocp
 
     directory = os.path.abspath(directory)
+    if not os.path.basename(directory).startswith("step_"):
+        if step is None:
+            step = latest_native_step(directory)
+            if step is None:
+                raise FileNotFoundError(f"no step_* checkpoints under {directory}")
+        directory = os.path.join(directory, f"step_{step}")
     with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
         if template is not None:
-            return ckptr.restore(
-                os.path.join(directory, f"step_{step}"), item=template)
-        return ckptr.restore(os.path.join(directory, f"step_{step}"))
+            return ckptr.restore(directory, item=template)
+        return ckptr.restore(directory)
 
 
 def latest_native_step(directory: str) -> int | None:

@@ -1,0 +1,92 @@
+"""CLI end-to-end: preprocess -> train (2 epochs, tiny model) -> evaluate,
+all through the public `python -m kasportsformer_tpu` surface."""
+
+import json
+import os
+import pickle
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+import yaml
+
+from tests.conftest import REPO_ROOT
+from tests.fixtures import make_source
+
+ENV = dict(os.environ, KASF_PLATFORM="cpu",
+           XLA_FLAGS="--xla_force_host_platform_device_count=2",
+           PYTHONPATH=REPO_ROOT)
+
+
+def _run(args, cwd):
+    proc = subprocess.run(
+        [sys.executable, "-m", "kasportsformer_tpu", *args],
+        cwd=cwd, env=ENV, capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    return proc
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    ws = tmp_path_factory.mktemp("cli_ws")
+    src = make_source("sportspose", train_video_lens=(36, 45, 63),
+                      test_video_lens=(27, 54))
+    with open(ws / "source.pkl", "wb") as f:
+        pickle.dump(src, f)
+    return ws
+
+
+def test_preprocess_train_evaluate(workspace):
+    ws = workspace
+    # force-CPU knob for subprocesses: sitecustomize overrides JAX_PLATFORMS,
+    # so the CLI must still work — it does, just on whatever device exists.
+    _run(["preprocess", "--source-file", "source.pkl", "--data-type", "gt",
+          "--n-frames", "27", "--output-root", "clips"], cwd=ws)
+    assert (ws / "clips" / "SPgt-27" / "train.npz").exists()
+    assert (ws / "clips" / "SPgt-27" / "test.npz").exists()
+
+    config = {
+        "seed": 1, "epochs": 2, "learning_rate": 1e-3, "batch_size": 4,
+        "warmup": True, "warmup_epoches": 1, "training_epoch_patience": 5,
+        "lambda_mpjpe_velocity": 20.0, "lambda_n_mpjpe": 0.5,
+        "use_wandb": False, "flip": True,
+        "logger_dir_path": str(ws / "loggings"), "logger_file_name": "t.log",
+        "data_root": "clips", "clip_set_name": "SPgt-27",
+        "input_channel_number": 3, "num_joints": 17, "n_frames": 27,
+        "model_name": "KASportsFormer", "n_layers": 2, "dim_feat": 32,
+        "dim_rep": 64, "num_heads": 4,
+        "new_checkpoint_dir": str(ws / "ckpt"), "new_checkpoint_name": "t",
+        "evaluate_checkpoint_file_dir": str(ws / "ckpt"),
+        "evaluate_checkpoint_file": "t_best",
+    }
+    with open(ws / "config.yaml", "w") as f:
+        yaml.safe_dump(config, f)
+
+    _run(["train", "--config-path", "config.yaml"], cwd=ws)
+    assert (ws / "ckpt" / "t_best").is_dir()
+    assert (ws / "ckpt" / "t_latest").is_dir()
+
+    proc = _run(["evaluate", "--config-path", "config.yaml",
+                 "--checkpoint", str(ws / "ckpt" / "t_best" / "step_0")],
+                cwd=ws)
+    result = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert np.isfinite(result["mpjpe"]) and result["mpjpe"] > 0
+    assert "p_mpjpe" in result and "acceleration_error" in result
+
+
+def test_reference_yaml_configs_load():
+    from kasportsformer_tpu.config import load_config
+
+    for name in ("sportspose-gt", "sportspose-det", "worldpose-gt", "worldpose-det"):
+        cfg = load_config(os.path.join(REPO_ROOT, "configs",
+                                       f"{name}-kasportsformer.yaml"))
+        assert cfg.model_name == "KASportsFormer"
+        assert cfg.n_layers == 26 and cfg.num_heads == 8
+        assert cfg.dataset == ("worldpose" if name.startswith("world") else "sportspose")
+
+    ref_dir = "/root/reference/configs"
+    if os.path.isdir(ref_dir):
+        for fn in os.listdir(ref_dir):
+            cfg = load_config(os.path.join(ref_dir, fn))
+            assert cfg.n_frames == 27
