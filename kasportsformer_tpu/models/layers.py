@@ -298,10 +298,13 @@ def gcn(p: Params, state: Params, x: jnp.ndarray, mode: str, train: bool,
 
 def former_module_init(key: jax.Array, dim: int, mlp_ratio: float, mixer_type: str,
                        mode: str, num_heads: int, qkv_bias: bool,
-                       layer_scale_init: float, n_frames: int
-                       ) -> tuple[Params, Params]:
-    """Pre-LN metaformer block params (≙ `model/KASportsFormer.py:65-101`).
-    `norm1_limb` exists for every mixer type (the reference allocates it
+                       layer_scale_init: float, n_frames: int,
+                       with_limb_norm: bool = True,
+                       use_layer_scale: bool = True) -> tuple[Params, Params]:
+    """Pre-LN metaformer block params (≙ `model/KASportsFormer.py:65-101`;
+    with_limb_norm=False gives MotionAGFormer's AGFormerBlock,
+    `model/MotionAGFormer.py:14-50`, which has no norm1_limb). In
+    KASportsFormer `norm1_limb` exists for every mixer type (allocated
     unconditionally at `:73`), keeping checkpoint layouts aligned."""
     km, kmlp = jax.random.split(key)
     state: Params = {}
@@ -312,17 +315,21 @@ def former_module_init(key: jax.Array, dim: int, mlp_ratio: float, mixer_type: s
         mixer, state = gcn_init(km, dim, dim, num_nodes)
     elif mixer_type == "bone":
         mixer = cross_attention_init(km, dim, qkv_bias)
+    elif mixer_type == "ms-tcn":
+        mixer, state = multi_scale_tcn_init(km, dim, dim)
     else:
         raise ValueError(mixer_type)
     params = {
         "norm1": layer_norm_init(dim),
-        "norm1_limb": layer_norm_init(dim),
         "norm2": layer_norm_init(dim),
         "mixer": mixer,
         "mlp": mlp_init(kmlp, dim, int(dim * mlp_ratio), dim),
-        "ls1": layer_scale_init * jnp.ones((dim,), jnp.float32),
-        "ls2": layer_scale_init * jnp.ones((dim,), jnp.float32),
     }
+    if with_limb_norm:
+        params["norm1_limb"] = layer_norm_init(dim)
+    if use_layer_scale:
+        params["ls1"] = layer_scale_init * jnp.ones((dim,), jnp.float32)
+        params["ls2"] = layer_scale_init * jnp.ones((dim,), jnp.float32)
     return params, state
 
 
@@ -347,6 +354,8 @@ def former_module(p: Params, state: Params, x: jnp.ndarray, mixer_type: str,
     elif mixer_type == "bone":
         h_limb = layer_norm(p["norm1_limb"], x_limb)
         mixed = cross_attention(p["mixer"], h, h_limb, num_heads, mode, qk_scale)
+    elif mixer_type == "ms-tcn":
+        mixed, new_state = multi_scale_tcn(p["mixer"], state, h, train)
     else:
         raise ValueError(mixer_type)
 
@@ -357,6 +366,145 @@ def former_module(p: Params, state: Params, x: jnp.ndarray, mixer_type: str,
         x = x + mixed
         x = x + mlp(p["mlp"], layer_norm(p["norm2"], x))
     return x, new_state
+
+
+# ---------------------------------------------------------------- conv / TCN
+
+
+def conv2d_init(key: jax.Array, c_in: int, c_out: int, kh: int, kw: int,
+                bias: bool = True) -> Params:
+    """2-D conv weights (OIHW), torch Conv2d default init
+    (U(-1/sqrt(fan_in), 1/sqrt(fan_in)), fan_in = c_in*kh*kw)."""
+    kw_, kb = jax.random.split(key)
+    fan_in = c_in * kh * kw
+    bound = 1.0 / math.sqrt(fan_in)
+    p = {"w": jax.random.uniform(kw_, (c_out, c_in, kh, kw), jnp.float32,
+                                 -bound, bound)}
+    if bias:
+        p["b"] = jax.random.uniform(kb, (c_out,), jnp.float32, -bound, bound)
+    return p
+
+
+def conv2d(p: Params, x: jnp.ndarray, stride: tuple[int, int] = (1, 1),
+           padding: tuple[int, int] = (0, 0),
+           dilation: tuple[int, int] = (1, 1)) -> jnp.ndarray:
+    """NCHW conv."""
+    y = jax.lax.conv_general_dilated(
+        x, p["w"].astype(x.dtype), window_strides=stride,
+        padding=[(padding[0], padding[0]), (padding[1], padding[1])],
+        rhs_dilation=dilation,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)[None, :, None, None]
+    return y
+
+
+def batch_norm_2d(p: Params, state: Params, x: jnp.ndarray, train: bool,
+                  momentum: float = 0.1, eps: float = 1e-5
+                  ) -> tuple[jnp.ndarray, Params]:
+    """Per-channel BN on NCHW (torch BatchNorm2d semantics)."""
+    xf = x.astype(jnp.float32)
+    if train:
+        mean = jnp.mean(xf, axis=(0, 2, 3))
+        var = jnp.mean(jnp.square(xf - mean[None, :, None, None]), axis=(0, 2, 3))
+        n = x.shape[0] * x.shape[2] * x.shape[3]
+        unbiased = var * (n / max(n - 1, 1))
+        new_state = {
+            "mean": (1 - momentum) * state["mean"] + momentum * mean,
+            "var": (1 - momentum) * state["var"] + momentum * unbiased,
+        }
+    else:
+        mean, var = state["mean"], state["var"]
+        new_state = state
+    y = (xf - mean[None, :, None, None]) * jax.lax.rsqrt(var[None, :, None, None] + eps)
+    y = y * p["scale"][None, :, None, None] + p["bias"][None, :, None, None]
+    return y.astype(x.dtype), new_state
+
+
+def _bn_init(c: int) -> tuple[Params, Params]:
+    return ({"scale": jnp.ones((c,), jnp.float32), "bias": jnp.zeros((c,), jnp.float32)},
+            {"mean": jnp.zeros((c,), jnp.float32), "var": jnp.ones((c,), jnp.float32)})
+
+
+def multi_scale_tcn_init(key: jax.Array, c_in: int, c_out: int,
+                         kernel_size: int = 5, dilations: tuple[int, ...] = (1, 2)
+                         ) -> tuple[Params, Params]:
+    """Multi-branch dilated temporal conv mixer
+    (≙ `model/modules/tcn.py:25-86`): len(dilations) dilated-conv branches +
+    a maxpool branch + a 1x1 branch, channels split evenly; identity
+    residual (c_in == c_out, stride 1 here)."""
+    n_branches = len(dilations) + 2
+    assert c_out % n_branches == 0
+    bc = c_out // n_branches
+    params: Params = {"branches": []}
+    state: Params = {"branches": []}
+    keys = jax.random.split(key, n_branches * 2)
+    ki = 0
+    for d in dilations:
+        bn1p, bn1s = _bn_init(bc)
+        bn2p, bn2s = _bn_init(bc)
+        params["branches"].append({
+            "conv1": conv2d_init(keys[ki], c_in, bc, 1, 1),
+            "bn1": bn1p,
+            "tconv": conv2d_init(keys[ki + 1], bc, bc, kernel_size, 1),
+            "bn2": bn2p,
+        })
+        state["branches"].append({"bn1": bn1s, "bn2": bn2s})
+        ki += 2
+    # maxpool branch
+    bn1p, bn1s = _bn_init(bc)
+    bn2p, bn2s = _bn_init(bc)
+    params["branches"].append({
+        "conv1": conv2d_init(keys[ki], c_in, bc, 1, 1),
+        "bn1": bn1p, "bn2": bn2p,
+    })
+    state["branches"].append({"bn1": bn1s, "bn2": bn2s})
+    ki += 1
+    # 1x1 branch
+    bn1p, bn1s = _bn_init(bc)
+    params["branches"].append({
+        "conv1": conv2d_init(keys[ki], c_in, bc, 1, 1),
+        "bn1": bn1p,
+    })
+    state["branches"].append({"bn1": bn1s})
+    return params, state
+
+
+def multi_scale_tcn(p: Params, state: Params, x: jnp.ndarray, train: bool,
+                    kernel_size: int = 5, dilations: tuple[int, ...] = (1, 2)
+                    ) -> tuple[jnp.ndarray, Params]:
+    """x: [B,T,J,C] -> [B,T,J,C]."""
+    xc = x.transpose(0, 3, 1, 2)  # NCHW = (B, C, T, J)
+    outs = []
+    new_states = []
+    for i, d in enumerate(dilations):
+        bp, bs = p["branches"][i], state["branches"][i]
+        h = conv2d(bp["conv1"], xc)
+        h, ns1 = batch_norm_2d(bp["bn1"], bs["bn1"], h, train)
+        h = jax.nn.relu(h)
+        pad = (kernel_size + (kernel_size - 1) * (d - 1) - 1) // 2
+        h = conv2d(bp["tconv"], h, padding=(pad, 0), dilation=(d, 1))
+        h, ns2 = batch_norm_2d(bp["bn2"], bs["bn2"], h, train)
+        outs.append(h)
+        new_states.append({"bn1": ns1, "bn2": ns2})
+    i = len(dilations)
+    bp, bs = p["branches"][i], state["branches"][i]
+    h = conv2d(bp["conv1"], xc)
+    h, ns1 = batch_norm_2d(bp["bn1"], bs["bn1"], h, train)
+    h = jax.nn.relu(h)
+    h = -jax.lax.reduce_window(  # MaxPool2d (3,1), stride 1, pad (1,0)
+        -h, jnp.inf, jax.lax.min, (1, 1, 3, 1), (1, 1, 1, 1),
+        [(0, 0), (0, 0), (1, 1), (0, 0)])
+    h, ns2 = batch_norm_2d(bp["bn2"], bs["bn2"], h, train)
+    outs.append(h)
+    new_states.append({"bn1": ns1, "bn2": ns2})
+    bp, bs = p["branches"][i + 1], state["branches"][i + 1]
+    h = conv2d(bp["conv1"], xc)
+    h, ns1 = batch_norm_2d(bp["bn1"], bs["bn1"], h, train)
+    outs.append(h)
+    new_states.append({"bn1": ns1})
+    out = jnp.concatenate(outs, axis=1) + xc  # identity residual
+    return out.transpose(0, 2, 3, 1), {"branches": new_states}
 
 
 def adaptive_fusion_init(dim: int, n_branches: int = 3) -> Params:

@@ -63,18 +63,81 @@ def _ln(sd: dict, name: str) -> Params:
     }
 
 
-def _former(sd: dict, prefix: str, mixer_type: str) -> tuple[Params, Params]:
+def _gcn_mixer(sd: dict, prefix: str) -> tuple[Params, Params]:
+    p = {
+        "U": _lin(sd, f"{prefix}.U"),
+        "V": _lin(sd, f"{prefix}.V"),
+        "bn": {
+            "scale": jnp.asarray(_np(sd[f"{prefix}.batch_norm.weight"])),
+            "bias": jnp.asarray(_np(sd[f"{prefix}.batch_norm.bias"])),
+        },
+    }
+    state = {"bn": {
+        "mean": jnp.asarray(_np(sd[f"{prefix}.batch_norm.running_mean"])),
+        "var": jnp.asarray(_np(sd[f"{prefix}.batch_norm.running_var"])),
+    }}
+    return p, state
+
+
+def _bn2d(sd: dict, prefix: str) -> tuple[Params, Params]:
+    p = {"scale": jnp.asarray(_np(sd[f"{prefix}.weight"])),
+         "bias": jnp.asarray(_np(sd[f"{prefix}.bias"]))}
+    s = {"mean": jnp.asarray(_np(sd[f"{prefix}.running_mean"])),
+         "var": jnp.asarray(_np(sd[f"{prefix}.running_var"]))}
+    return p, s
+
+
+def _conv(sd: dict, prefix: str) -> Params:
+    p = {"w": jnp.asarray(_np(sd[f"{prefix}.weight"]))}
+    if f"{prefix}.bias" in sd:
+        p["b"] = jnp.asarray(_np(sd[f"{prefix}.bias"]))
+    return p
+
+
+def _mstcn_mixer(sd: dict, prefix: str) -> tuple[Params, Params]:
+    """MultiScaleTCN (`model/modules/tcn.py:25-86`): branches is a ModuleList
+    of Sequentials — dilated branches [conv,bn,relu,TemporalConv], maxpool
+    branch [conv,bn,relu,maxpool,bn], 1x1 branch [conv,bn]."""
+    params: Params = {"branches": []}
+    state: Params = {"branches": []}
+    for i in (0, 1):  # dilated branches
+        bn1p, bn1s = _bn2d(sd, f"{prefix}.branches.{i}.1")
+        bn2p, bn2s = _bn2d(sd, f"{prefix}.branches.{i}.3.bn")
+        params["branches"].append({
+            "conv1": _conv(sd, f"{prefix}.branches.{i}.0"),
+            "bn1": bn1p,
+            "tconv": _conv(sd, f"{prefix}.branches.{i}.3.conv"),
+            "bn2": bn2p,
+        })
+        state["branches"].append({"bn1": bn1s, "bn2": bn2s})
+    bn1p, bn1s = _bn2d(sd, f"{prefix}.branches.2.1")
+    bn2p, bn2s = _bn2d(sd, f"{prefix}.branches.2.4")
+    params["branches"].append({
+        "conv1": _conv(sd, f"{prefix}.branches.2.0"), "bn1": bn1p, "bn2": bn2p})
+    state["branches"].append({"bn1": bn1s, "bn2": bn2s})
+    bn1p, bn1s = _bn2d(sd, f"{prefix}.branches.3.1")
+    params["branches"].append({
+        "conv1": _conv(sd, f"{prefix}.branches.3.0"), "bn1": bn1p})
+    state["branches"].append({"bn1": bn1s})
+    return params, state
+
+
+def _former(sd: dict, prefix: str, mixer_type: str,
+            with_limb_norm: bool = True,
+            use_layer_scale: bool = True) -> tuple[Params, Params]:
     p: Params = {
         "norm1": _ln(sd, f"{prefix}.norm1"),
-        "norm1_limb": _ln(sd, f"{prefix}.norm1_limb"),
         "norm2": _ln(sd, f"{prefix}.norm2"),
         "mlp": {
             "fc1": _lin(sd, f"{prefix}.mlp.fc1"),
             "fc2": _lin(sd, f"{prefix}.mlp.fc2"),
         },
-        "ls1": jnp.asarray(_np(sd[f"{prefix}.layer_scale_1"])),
-        "ls2": jnp.asarray(_np(sd[f"{prefix}.layer_scale_2"])),
     }
+    if with_limb_norm:
+        p["norm1_limb"] = _ln(sd, f"{prefix}.norm1_limb")
+    if use_layer_scale:
+        p["ls1"] = jnp.asarray(_np(sd[f"{prefix}.layer_scale_1"]))
+        p["ls2"] = jnp.asarray(_np(sd[f"{prefix}.layer_scale_2"]))
     state: Params = {}
     if mixer_type == "attention":
         p["mixer"] = {
@@ -88,19 +151,63 @@ def _former(sd: dict, prefix: str, mixer_type: str) -> tuple[Params, Params]:
             "proj": _lin(sd, f"{prefix}.mixer.proj"),
         }
     elif mixer_type == "graph":
-        p["mixer"] = {
-            "U": _lin(sd, f"{prefix}.mixer.U"),
-            "V": _lin(sd, f"{prefix}.mixer.V"),
-            "bn": {
-                "scale": jnp.asarray(_np(sd[f"{prefix}.mixer.batch_norm.weight"])),
-                "bias": jnp.asarray(_np(sd[f"{prefix}.mixer.batch_norm.bias"])),
-            },
-        }
-        state = {"bn": {
-            "mean": jnp.asarray(_np(sd[f"{prefix}.mixer.batch_norm.running_mean"])),
-            "var": jnp.asarray(_np(sd[f"{prefix}.mixer.batch_norm.running_var"])),
-        }}
+        p["mixer"], state = _gcn_mixer(sd, f"{prefix}.mixer")
+    elif mixer_type == "ms-tcn":
+        p["mixer"], state = _mstcn_mixer(sd, f"{prefix}.mixer")
     return p, state
+
+
+def motionagformer_state_dict_to_params(state_dict: dict[str, Any],
+                                        n_layers: int,
+                                        graph_only: bool = False,
+                                        use_tcn: bool = False,
+                                        use_adaptive_fusion: bool = True,
+                                        hierarchical: bool = False,
+                                        use_layer_scale: bool = True
+                                        ) -> tuple[Params, Params]:
+    """Reference MotionAGFormer state_dict (`model/MotionAGFormer.py`) ->
+    (params, state) for our zoo model."""
+    sd = strip_module_prefix(state_dict)
+    params: Params = {
+        "joints_embed": _lin(sd, "joints_embed"),
+        "pos_embed": jnp.asarray(_np(sd["pos_embed"])),
+        "norm": _ln(sd, "norm"),
+        "rep_logit": _lin(sd, "rep_logit.fc"),
+        "head": _lin(sd, "head"),
+    }
+    layer_params, layer_states = [], []
+    for i in range(n_layers):
+        lp: Params = {}
+        ls: Params = {}
+        for name, mixer in (("att_spatial", "attention"),
+                            ("att_temporal", "attention")):
+            lp[name], _ = _former(sd, f"layers.{i}.{name}", mixer,
+                                  with_limb_norm=False,
+                                  use_layer_scale=use_layer_scale)
+        if graph_only:
+            lp["graph_spatial"], ls["graph_spatial"] = _gcn_mixer(
+                sd, f"layers.{i}.graph_spatial")
+            if use_tcn:
+                lp["graph_temporal"], ls["graph_temporal"] = _mstcn_mixer(
+                    sd, f"layers.{i}.graph_temporal")
+            else:
+                lp["graph_temporal"], ls["graph_temporal"] = _gcn_mixer(
+                    sd, f"layers.{i}.graph_temporal")
+        else:
+            lp["graph_spatial"], ls["graph_spatial"] = _former(
+                sd, f"layers.{i}.graph_spatial", "graph",
+                with_limb_norm=False, use_layer_scale=use_layer_scale)
+            lp["graph_temporal"], ls["graph_temporal"] = _former(
+                sd, f"layers.{i}.graph_temporal",
+                "ms-tcn" if use_tcn else "graph",
+                with_limb_norm=False, use_layer_scale=use_layer_scale)
+        if use_adaptive_fusion:
+            lp["fusion"] = _lin(sd, f"layers.{i}.fusion")
+        layer_params.append(lp)
+        layer_states.append(ls)
+    params["layers"] = jax.tree.map(lambda *xs: jnp.stack(xs), *layer_params)
+    state = {"layers": jax.tree.map(lambda *xs: jnp.stack(xs), *layer_states)}
+    return params, state
 
 
 def _bone_refusion_from_torch(sd: dict) -> Params:
