@@ -160,6 +160,59 @@ def attention(p: Params, x: jnp.ndarray, num_heads: int, mode: str,
     return linear(p["proj"], _unheads(out))
 
 
+def attention_tokens(p: Params, x: jnp.ndarray, num_heads: int,
+                     qk_scale: float | None = None) -> jnp.ndarray:
+    """Standard MHSA on a flat token stream (M, N, C) — the building block of
+    the MixSTE/DSTFormer family (`model/MixSTE.py:61-106`), where M batches
+    whatever axis isn't being attended over."""
+    m, n, c = x.shape
+    d = c // num_heads
+    scale = qk_scale or d**-0.5
+    qkv = linear(p["qkv"], x).reshape(m, n, 3, num_heads, d)
+    qkv = qkv.transpose(2, 0, 3, 1, 4)  # (3, M, H, N, D)
+    q, k, v = qkv[0], qkv[1], qkv[2]
+    logits = jax.lax.dot_general(q, k, (((3,), (3,)), ((0, 1), (0, 1)))) * scale
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
+    out = jax.lax.dot_general(probs, v, (((3,), (2,)), ((0, 1), (0, 1))))
+    return linear(p["proj"], out.transpose(0, 2, 1, 3).reshape(m, n, c))
+
+
+def transformer_block_init(key: jax.Array, dim: int, mlp_ratio: float,
+                           qkv_bias: bool) -> Params:
+    """Pre-LN transformer block params (`model/MixSTE.py:299-342`)."""
+    ka, km = jax.random.split(key)
+    return {
+        "norm1": layer_norm_init(dim),
+        "attn": attention_init(ka, dim, qkv_bias),
+        "norm2": layer_norm_init(dim),
+        "mlp": mlp_init(km, dim, int(dim * mlp_ratio), dim),
+    }
+
+
+def transformer_block(p: Params, x: jnp.ndarray, num_heads: int,
+                      qk_scale: float | None = None, eps: float = 1e-5,
+                      drop_path_rate: float = 0.0,
+                      key: jax.Array | None = None) -> jnp.ndarray:
+    """x + attn(LN(x)); x + mlp(LN(x)) on (M, N, C) tokens. Stochastic depth
+    (per-sample residual drop, `timm` semantics) applies only when a key is
+    given and rate > 0 (training)."""
+
+    def residual(branch: jnp.ndarray, subkey) -> jnp.ndarray:
+        if drop_path_rate > 0.0 and subkey is not None:
+            keep = 1.0 - drop_path_rate
+            mask = jax.random.bernoulli(subkey, keep, (branch.shape[0], 1, 1))
+            branch = branch * mask.astype(branch.dtype) / keep
+        return branch
+
+    k1 = k2 = None
+    if key is not None:
+        k1, k2 = jax.random.split(key)
+    x = x + residual(attention_tokens(p["attn"], layer_norm(p["norm1"], x, eps),
+                                      num_heads, qk_scale), k1)
+    x = x + residual(mlp(p["mlp"], layer_norm(p["norm2"], x, eps)), k2)
+    return x
+
+
 def cross_attention_init(key: jax.Array, dim: int, qkv_bias: bool = False) -> Params:
     kq, kkv, kp = jax.random.split(key, 3)
     return {

@@ -1,4 +1,9 @@
 """Baseline model zoo (≙ reference `model/` zoo, SURVEY.md §2.3). Importing
 this package registers every zoo model with the factory."""
 
-from kasportsformer_tpu.models.zoo import motionagformer  # noqa: F401
+from kasportsformer_tpu.models.zoo import (  # noqa: F401
+    dstformer,
+    mixste,
+    motionagformer,
+    stcformer,
+)

@@ -231,6 +231,113 @@ def _bone_refusion_from_torch(sd: dict) -> Params:
             "w2": jnp.asarray(w2), "b2": jnp.asarray(b2)}
 
 
+def _tblock(sd: dict, prefix: str) -> Params:
+    """MixSTE/DSTFormer-style pre-LN transformer block (`model/MixSTE.py:299`)."""
+    return {
+        "norm1": _ln(sd, f"{prefix}.norm1"),
+        "attn": {"qkv": _lin(sd, f"{prefix}.attn.qkv"),
+                 "proj": _lin(sd, f"{prefix}.attn.proj")},
+        "norm2": _ln(sd, f"{prefix}.norm2"),
+        "mlp": {"fc1": _lin(sd, f"{prefix}.mlp.fc1"),
+                "fc2": _lin(sd, f"{prefix}.mlp.fc2")},
+    }
+
+
+def mixste_state_dict_to_params(state_dict: dict[str, Any], depth: int
+                                ) -> tuple[Params, Params]:
+    """Reference MixSTE2 state_dict (`model/MixSTE.py:405-567`) ->
+    (params, state)."""
+    sd = strip_module_prefix(state_dict)
+    params: Params = {
+        "spatial_embed": _lin(sd, "Spatial_patch_to_embedding"),
+        "spatial_pos_embed": jnp.asarray(_np(sd["Spatial_pos_embed"])),
+        "temporal_pos_embed": jnp.asarray(_np(sd["Temporal_pos_embed"])),
+        "spatial_norm": _ln(sd, "Spatial_norm"),
+        "temporal_norm": _ln(sd, "Temporal_norm"),
+        "head_norm": _ln(sd, "head.0"),
+        "head": _lin(sd, "head.1"),
+    }
+    ste = [_tblock(sd, f"STEblocks.{i}") for i in range(depth)]
+    tte = [_tblock(sd, f"TTEblocks.{i}") for i in range(depth)]
+    params["ste0"], params["tte0"] = ste[0], tte[0]
+    if depth > 1:
+        params["ste_rest"] = jax.tree.map(lambda *xs: jnp.stack(xs), *ste[1:])
+        params["tte_rest"] = jax.tree.map(lambda *xs: jnp.stack(xs), *tte[1:])
+    return params, {}
+
+
+def stcformer_state_dict_to_params(state_dict: dict[str, Any], n_layers: int
+                                   ) -> tuple[Params, Params]:
+    """Reference STCFormer `Model` state_dict (`model/STCFormer.py`) ->
+    (params, state)."""
+    sd = strip_module_prefix(state_dict)
+    params: Params = {
+        "pose_emb": _lin(sd, "pose_emb"),
+        "head": _lin(sd, "regress_head"),
+    }
+    blocks = []
+    for i in range(n_layers):
+        base = f"stcformer.stc_block.{i}"
+        blocks.append({
+            "norm": _ln(sd, f"{base}.stc_att.layer_norm"),
+            "qkv": _lin(sd, f"{base}.stc_att.qkv"),
+            "proj": _lin(sd, f"{base}.stc_att.proj"),
+            "sep2_s": _conv(sd, f"{base}.stc_att.sep2_s"),
+            "sep2_t": _conv(sd, f"{base}.stc_att.sep2_t"),
+            "part_embed": jnp.asarray(_np(sd[f"{base}.stc_att.emb.weight"])),
+            "mlp_norm": _ln(sd, f"{base}.layer_norm"),
+            "mlp": {"fc1": _lin(sd, f"{base}.mlp.fc1"),
+                    "fc2": _lin(sd, f"{base}.mlp.fc2")},
+        })
+    params["blocks"] = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+    return params, {}
+
+
+def dstformer_state_dict_to_params(state_dict: dict[str, Any], depth: int,
+                                   att_fuse: bool = True
+                                   ) -> tuple[Params, Params]:
+    """Reference DSTformer state_dict (`model/DSTFormer.py:278-371`) ->
+    (params, state)."""
+    sd = strip_module_prefix(state_dict)
+    params: Params = {
+        "joints_embed": _lin(sd, "joints_embed"),
+        "pos_embed": jnp.asarray(_np(sd["pos_embed"])),
+        "temp_embed": jnp.asarray(_np(sd["temp_embed"])),
+        "norm": _ln(sd, "norm"),
+        "pre_logits": _lin(sd, "pre_logits.fc"),
+        "head": _lin(sd, "head"),
+    }
+
+    def block(base: str) -> Params:
+        return {
+            "norm1_s": _ln(sd, f"{base}.norm1_s"),
+            "norm1_t": _ln(sd, f"{base}.norm1_t"),
+            "norm2_s": _ln(sd, f"{base}.norm2_s"),
+            "norm2_t": _ln(sd, f"{base}.norm2_t"),
+            "attn_s": {"qkv": _lin(sd, f"{base}.attn_s.qkv"),
+                       "proj": _lin(sd, f"{base}.attn_s.proj")},
+            "attn_t": {"qkv": _lin(sd, f"{base}.attn_t.qkv"),
+                       "proj": _lin(sd, f"{base}.attn_t.proj")},
+            "mlp_s": {"fc1": _lin(sd, f"{base}.mlp_s.fc1"),
+                      "fc2": _lin(sd, f"{base}.mlp_s.fc2")},
+            "mlp_t": {"fc1": _lin(sd, f"{base}.mlp_t.fc1"),
+                      "fc2": _lin(sd, f"{base}.mlp_t.fc2")},
+        }
+
+    params["blocks_st"] = jax.tree.map(
+        lambda *xs: jnp.stack(xs), *[block(f"blocks_st.{i}") for i in range(depth)])
+    params["blocks_ts"] = jax.tree.map(
+        lambda *xs: jnp.stack(xs), *[block(f"blocks_ts.{i}") for i in range(depth)])
+    if att_fuse:
+        params["ts_attn"] = {
+            "w": jnp.stack([jnp.asarray(_np(sd[f"ts_attn.{i}.weight"]).T)
+                            for i in range(depth)]),
+            "b": jnp.stack([jnp.asarray(_np(sd[f"ts_attn.{i}.bias"]))
+                            for i in range(depth)]),
+        }
+    return params, {}
+
+
 def torch_state_dict_to_params(state_dict: dict[str, Any], n_layers: int = 26
                                ) -> tuple[Params, Params]:
     """Reference KASportsFormer state_dict -> (params, state) pytrees."""

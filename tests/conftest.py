@@ -86,15 +86,23 @@ def enable_reference_imports() -> None:
         timm_data = types.ModuleType("timm.data")
 
         class DropPath(nn.Module):
-            """Stochastic depth; all reference configs use drop_path=0 so the
-            identity stub is exact for parity testing."""
+            """Stochastic depth (timm semantics). Parity tests run models in
+            eval mode, where DropPath is the identity; train mode reproduces
+            per-sample residual dropping."""
 
             def __init__(self, drop_prob=0.0):
                 super().__init__()
-                assert drop_prob in (0.0, None)
+                self.drop_prob = drop_prob or 0.0
 
             def forward(self, x):
-                return x
+                import torch
+
+                if self.drop_prob == 0.0 or not self.training:
+                    return x
+                keep = 1 - self.drop_prob
+                shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+                mask = torch.bernoulli(torch.full(shape, keep, device=x.device))
+                return x * mask / keep
 
         def _trunc_normal_(tensor, mean=0.0, std=1.0, a=-2.0, b=2.0):
             import torch

@@ -67,3 +67,92 @@ def test_motionagformer_parity(variant):
     # param counts agree
     want_n = sum(p.numel() for p in tmodel.parameters() if p.requires_grad)
     assert jmodel.parameter_count(params) == want_n
+
+
+def test_stcformer_parity(monkeypatch):
+    torch = pytest.importorskip("torch")
+    enable_reference_imports()
+    # the reference hardcodes .cuda() on the part-index tensor (`:60`)
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self,
+                        raising=False)
+    from types import SimpleNamespace
+
+    from model.STCFormer import Model as TorchSTC
+
+    from kasportsformer_tpu.models.zoo.stcformer import STCFormer, STCFormerConfig
+    from kasportsformer_tpu.train.checkpoint import stcformer_state_dict_to_params
+
+    torch.manual_seed(13)
+    args = SimpleNamespace(layers=3, d_hid=64, num_frame=27,
+                           num_joints_in=17, num_joints_out=17)
+    tmodel = TorchSTC(args)
+    tmodel.eval()
+
+    params, state = stcformer_state_dict_to_params(tmodel.state_dict(), n_layers=3)
+    jmodel = STCFormer(STCFormerConfig(n_layers=3, d_hid=64, num_heads=8))
+
+    x2 = _x()[..., :2]
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(x2)).numpy()
+    got, _ = jax.jit(lambda p, s, v: jmodel.apply(p, s, v, train=False))(
+        params, state, jnp.asarray(x2))
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5, rtol=1e-4)
+
+    want_n = sum(p.numel() for p in tmodel.parameters() if p.requires_grad)
+    assert jmodel.parameter_count(params) == want_n
+
+
+def test_dstformer_parity():
+    torch = pytest.importorskip("torch")
+    enable_reference_imports()
+    from model.DSTFormer import DSTformer as TorchDST
+
+    from kasportsformer_tpu.models.zoo.dstformer import DSTFormer, DSTFormerConfig
+    from kasportsformer_tpu.train.checkpoint import dstformer_state_dict_to_params
+
+    torch.manual_seed(17)
+    tmodel = TorchDST(dim_in=3, dim_out=3, dim_feat=32, dim_rep=64, depth=3,
+                      num_heads=4, mlp_ratio=2, num_joints=17, maxlen=27)
+    tmodel.eval()
+
+    params, state = dstformer_state_dict_to_params(tmodel.state_dict(), depth=3)
+    jmodel = DSTFormer(DSTFormerConfig(dim_feat=32, dim_rep=64, depth=3,
+                                       num_heads=4, mlp_ratio=2.0, maxlen=27))
+
+    x = _x()
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(x)).numpy()
+    got, _ = jax.jit(lambda p, s, v: jmodel.apply(p, s, v, train=False))(
+        params, state, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5, rtol=1e-4)
+
+    want_n = sum(p.numel() for p in tmodel.parameters() if p.requires_grad)
+    assert jmodel.parameter_count(params) == want_n
+
+
+def test_mixste_parity():
+    torch = pytest.importorskip("torch")
+    enable_reference_imports()
+    from model.MixSTE import MixSTE2 as TorchMixSTE
+
+    from kasportsformer_tpu.models.zoo.mixste import MixSTE, MixSTEConfig
+    from kasportsformer_tpu.train.checkpoint import mixste_state_dict_to_params
+
+    torch.manual_seed(9)
+    tmodel = TorchMixSTE(num_frame=27, num_joints=17, in_chans=2,
+                         embed_dim_ratio=32, depth=4, num_heads=4, mlp_ratio=2.0)
+    tmodel.eval()
+
+    params, state = mixste_state_dict_to_params(tmodel.state_dict(), depth=4)
+    jmodel = MixSTE(MixSTEConfig(num_frame=27, in_chans=2, embed_dim=32,
+                                 depth=4, num_heads=4, mlp_ratio=2.0))
+
+    x2 = _x()[..., :2]
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(x2)).numpy()
+    got, _ = jax.jit(lambda p, s, v: jmodel.apply(p, s, v, train=False))(
+        params, state, jnp.asarray(x2))
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5, rtol=1e-4)
+
+    want_n = sum(p.numel() for p in tmodel.parameters() if p.requires_grad)
+    assert jmodel.parameter_count(params) == want_n
