@@ -3,6 +3,7 @@ this package registers every zoo model with the factory."""
 
 from kasportsformer_tpu.models.zoo import (  # noqa: F401
     dstformer,
+    ktpformer,
     mixste,
     motionagformer,
     stcformer,

@@ -338,6 +338,61 @@ def dstformer_state_dict_to_params(state_dict: dict[str, Any], depth: int,
     return params, {}
 
 
+def ktpformer_state_dict_to_params(state_dict: dict[str, Any], depth: int
+                                   ) -> tuple[Params, Params]:
+    """Reference KTPFormer state_dict (`model/KTPFormer.py:472-618`) ->
+    (params, state)."""
+    sd = strip_module_prefix(state_dict)
+
+    def prior(base: str) -> tuple[Params, Params]:
+        p = {"gconv": {
+            "W": jnp.asarray(_np(sd[f"{base}.gconv.W"])),
+            "M": jnp.asarray(_np(sd[f"{base}.gconv.M"])),
+            "adj2": jnp.asarray(_np(sd[f"{base}.gconv.adj2"])),
+            "b": jnp.asarray(_np(sd[f"{base}.gconv.bias"])),
+        }, "bn": {
+            "scale": jnp.asarray(_np(sd[f"{base}.bn.weight"])),
+            "bias": jnp.asarray(_np(sd[f"{base}.bn.bias"])),
+        }}
+        s = {"bn": {
+            "mean": jnp.asarray(_np(sd[f"{base}.bn.running_mean"])),
+            "var": jnp.asarray(_np(sd[f"{base}.bn.running_var"])),
+        }}
+        return p, s
+
+    kpa_p, kpa_s = prior("kpattention.attn.kpa")
+    tpa1_p, tpa1_s = prior("tpattention.attn.tpa.gconv1")
+    tpa2_p, tpa2_s = prior("tpattention.attn.tpa.gconv2")
+    params: Params = {
+        "kpa": kpa_p,
+        "kpa_pos_embed": jnp.asarray(_np(sd["kpattention.attn.Spatial_pos_embed"])),
+        "kpa_norm1": _ln(sd, "kpattention.attn.norm1"),
+        "kpa_attn": {"qkv": _lin(sd, "kpattention.attn.qkv"),
+                     "proj": _lin(sd, "kpattention.attn.proj")},
+        "kpa_mlp_norm": _ln(sd, "kpattention.norm2"),
+        "kpa_mlp": {"fc1": _lin(sd, "kpattention.mlp.fc1"),
+                    "fc2": _lin(sd, "kpattention.mlp.fc2")},
+        "tpa1": tpa1_p, "tpa2": tpa2_p,
+        "tpa_pos_embed": jnp.asarray(_np(sd["tpattention.attn.Temporal_pos_embed"])),
+        "tpa_norm1": _ln(sd, "tpattention.attn.norm1"),
+        "tpa_attn": {"qkv": _lin(sd, "tpattention.attn.qkv"),
+                     "proj": _lin(sd, "tpattention.attn.proj")},
+        "tpa_mlp_norm": _ln(sd, "tpattention.norm2"),
+        "tpa_mlp": {"fc1": _lin(sd, "tpattention.mlp.fc1"),
+                    "fc2": _lin(sd, "tpattention.mlp.fc2")},
+        "spatial_norm": _ln(sd, "Spatial_norm"),
+        "temporal_norm": _ln(sd, "Temporal_norm"),
+        "head_norm": _ln(sd, "head.0"),
+        "head": _lin(sd, "head.1"),
+    }
+    params["ste"] = jax.tree.map(
+        lambda *xs: jnp.stack(xs), *[_tblock(sd, f"STEblocks.{i}") for i in range(depth)])
+    params["tte"] = jax.tree.map(
+        lambda *xs: jnp.stack(xs), *[_tblock(sd, f"TTEblocks.{i}") for i in range(depth)])
+    state = {"kpa": kpa_s, "tpa1": tpa1_s, "tpa2": tpa2_s}
+    return params, state
+
+
 def torch_state_dict_to_params(state_dict: dict[str, Any], n_layers: int = 26
                                ) -> tuple[Params, Params]:
     """Reference KASportsFormer state_dict -> (params, state) pytrees."""

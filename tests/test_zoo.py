@@ -130,6 +130,51 @@ def test_dstformer_parity():
     assert jmodel.parameter_count(params) == want_n
 
 
+def test_ktpformer_parity():
+    torch = pytest.importorskip("torch")
+    enable_reference_imports()
+    from model.KTPFormer import KTPFormer as TorchKTP
+
+    from kasportsformer_tpu.models.zoo.ktpformer import (
+        KTPFormer,
+        KTPFormerConfig,
+        adj_mx_from_skeleton,
+        adj_mx_from_skeleton_temporal,
+    )
+    from kasportsformer_tpu.train.checkpoint import ktpformer_state_dict_to_params
+
+    torch.manual_seed(21)
+    adj = torch.from_numpy(adj_mx_from_skeleton(17))
+    adj_t = torch.from_numpy(adj_mx_from_skeleton_temporal(27))
+    tmodel = TorchKTP(adj, adj_t, num_frame=27, num_joints=17, in_chans=2,
+                      embed_dim_ratio=32, depth=3, num_heads=4, mlp_ratio=2.0)
+    tmodel.eval()
+
+    # our numpy adjacency builders match the reference scipy-based ones
+    enable_reference_imports()
+    from model.model_tools import adj_mx_from_skeleton as ref_adj
+    from model.model_tools import adj_mx_from_skeleton_temporal as ref_adj_t
+    np.testing.assert_allclose(adj_mx_from_skeleton(17), ref_adj(17).numpy(),
+                               atol=1e-6)
+    np.testing.assert_allclose(
+        adj_mx_from_skeleton_temporal(27),
+        ref_adj_t(27, np.arange(-1, 26)).numpy(), atol=1e-6)
+
+    params, state = ktpformer_state_dict_to_params(tmodel.state_dict(), depth=3)
+    jmodel = KTPFormer(KTPFormerConfig(embed_dim=32, depth=3, num_heads=4,
+                                       mlp_ratio=2.0))
+
+    x2 = _x()[..., :2]
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(x2)).numpy()
+    got, _ = jax.jit(lambda p, s, v: jmodel.apply(p, s, v, train=False))(
+        params, state, jnp.asarray(x2))
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5, rtol=1e-4)
+
+    want_n = sum(p.numel() for p in tmodel.parameters() if p.requires_grad)
+    assert jmodel.parameter_count(params) == want_n
+
+
 def test_mixste_parity():
     torch = pytest.importorskip("torch")
     enable_reference_imports()
