@@ -1,0 +1,248 @@
+"""D3DP (DiffusionPose) — diffusion-based 3D pose lifting
+(`model/diffusionpose.py`).
+
+A time-conditioned MixSTE2 denoiser (2D pose + noisy 3D pose -> clean 3D
+pose; sinusoidal timestep embedding through a 2-layer MLP,
+`diffusionpose.py:130-298`) wrapped in cosine-schedule DDIM
+(`:340-559`):
+
+* train: draw one timestep per sample, q-sample the target pose, denoise,
+  return the prediction (the loss is plain MPJPE against the clean pose);
+* eval: DDIM over `sampling_timesteps` steps with a proposal axis H
+  (`num_proposals` parallel hypotheses) and optional flip TTA inside the
+  denoiser call; returns all intermediate x_start predictions
+  (B, steps, H, F, 17, 3) like `ddim_sample_flip`.
+
+TPU design: the sampling loop is a `lax.scan` over static time pairs; the
+proposal axis folds into the batch for the denoiser; all schedule buffers are
+float64 numpy folded to f32 constants (matching the reference's buffers).
+The reference's hardcoded `.cuda()` calls (`:517,522,584-585`) are behavior
+we replicate without the device pinning.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kasportsformer_tpu.models import layers as L
+from kasportsformer_tpu.models.registry import register_model
+from kasportsformer_tpu.utils.common import joint_flip
+
+Params = dict[str, Any]
+_EPS = 1e-6
+
+
+def cosine_beta_schedule(timesteps: int, s: float = 0.008) -> np.ndarray:
+    """(`diffusionpose.py:333-345`), float64 like the reference."""
+    steps = timesteps + 1
+    x = np.linspace(0, timesteps, steps, dtype=np.float64)
+    ac = np.cos(((x / timesteps) + s) / (1 + s) * math.pi * 0.5) ** 2
+    ac = ac / ac[0]
+    betas = 1 - (ac[1:] / ac[:-1])
+    return np.clip(betas, 0, 0.999)
+
+
+@dataclasses.dataclass(frozen=True)
+class D3DPConfig:
+    num_frame: int = 27
+    num_joints: int = 17
+    in_chans: int = 2
+    embed_dim: int = 512  # args.cs
+    depth: int = 8  # args.dep
+    num_heads: int = 8
+    mlp_ratio: float = 2.0
+    qkv_bias: bool = True
+    qk_scale: float | None = None
+    timesteps: int = 1000  # args.timestep
+    sampling_timesteps: int = 1
+    num_proposals: int = 1
+    scale: float = 1.0  # args.scale
+    flip_tta: bool = True  # args.test_time_augmentation
+
+
+def _time_embedding(p: Params, t: jnp.ndarray, dim: int) -> jnp.ndarray:
+    """Sinusoidal embedding + MLP (`diffusionpose.py:130-142`, `:183-188`)."""
+    half = dim // 2
+    freqs = jnp.exp(jnp.arange(half) * (-math.log(10000.0) / (half - 1)))
+    args = t.astype(jnp.float32)[:, None] * freqs[None, :]
+    emb = jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
+    emb = L.linear(p["fc1"], emb)
+    emb = jax.nn.gelu(emb, approximate=False)
+    return L.linear(p["fc2"], emb)
+
+
+class D3DP:
+    """Functional wrapper. apply() runs the TRAIN path (denoise a q-sampled
+    pose); sample() runs the DDIM eval path with proposals."""
+
+    def __init__(self, cfg: D3DPConfig | None = None, compute_dtype=jnp.float32):
+        self.cfg = cfg or D3DPConfig()
+        betas = cosine_beta_schedule(self.cfg.timesteps)
+        alphas_cumprod = np.cumprod(1.0 - betas)
+        self.alphas_cumprod = alphas_cumprod
+        self.sqrt_alphas_cumprod = np.sqrt(alphas_cumprod)
+        self.sqrt_one_minus_alphas_cumprod = np.sqrt(1.0 - alphas_cumprod)
+        self.sqrt_recip_alphas_cumprod = np.sqrt(1.0 / alphas_cumprod)
+        self.sqrt_recipm1_alphas_cumprod = np.sqrt(1.0 / alphas_cumprod - 1.0)
+        self.compute_dtype = compute_dtype
+
+    # ---------------- denoiser (time-conditioned MixSTE2) ----------------
+    def init(self, key: jax.Array) -> tuple[Params, Params]:
+        cfg = self.cfg
+        dim = cfg.embed_dim
+        keys = jax.random.split(key, 6 + 2 * cfg.depth)
+        params: Params = {
+            "spatial_embed": L.linear_init(keys[0], cfg.in_chans + 3, dim),
+            "spatial_pos_embed": jnp.zeros((1, cfg.num_joints, dim), jnp.float32),
+            "temporal_pos_embed": jnp.zeros((1, cfg.num_frame, dim), jnp.float32),
+            "time_mlp": {"fc1": L.linear_init(keys[1], dim, dim * 2),
+                         "fc2": L.linear_init(keys[2], dim * 2, dim)},
+            "spatial_norm": L.layer_norm_init(dim),
+            "temporal_norm": L.layer_norm_init(dim),
+            "head_norm": L.layer_norm_init(dim),
+            "head": L.linear_init(keys[3], dim, 3),
+        }
+        ste = [L.transformer_block_init(keys[6 + i], dim, cfg.mlp_ratio, cfg.qkv_bias)
+               for i in range(cfg.depth)]
+        tte = [L.transformer_block_init(keys[6 + cfg.depth + i], dim,
+                                        cfg.mlp_ratio, cfg.qkv_bias)
+               for i in range(cfg.depth)]
+        params["ste0"], params["tte0"] = ste[0], tte[0]
+        if cfg.depth > 1:
+            params["ste_rest"] = jax.tree.map(lambda *xs: jnp.stack(xs), *ste[1:])
+            params["tte_rest"] = jax.tree.map(lambda *xs: jnp.stack(xs), *tte[1:])
+        return params, {}
+
+    def denoise(self, params: Params, x_2d: jnp.ndarray, x_3d: jnp.ndarray,
+                t: jnp.ndarray) -> jnp.ndarray:
+        """(B,F,N,2)+(B,F,N,3)+(B,) -> (B,F,N,3) — `MixSTE2.forward` in
+        `diffusionpose.py:281-298` (train shape; proposals fold into B)."""
+        cfg = self.cfg
+        b, f, n, _ = x_2d.shape
+        heads, scale = cfg.num_heads, cfg.qk_scale
+        x = jnp.concatenate([x_2d, x_3d], axis=-1).astype(self.compute_dtype)
+        tokens = L.linear(params["spatial_embed"], x.reshape(b * f, n, -1))
+        tokens = tokens + params["spatial_pos_embed"].astype(tokens.dtype)
+        t_emb = _time_embedding(params["time_mlp"], t, cfg.embed_dim)
+        tokens = tokens + jnp.repeat(t_emb[:, None, :], f, axis=0).astype(tokens.dtype)
+
+        tokens = L.transformer_block(params["ste0"], tokens, heads, scale, _EPS)
+        tokens = L.layer_norm(params["spatial_norm"], tokens, _EPS)
+        tokens = tokens.reshape(b, f, n, -1).transpose(0, 2, 1, 3).reshape(b * n, f, -1)
+        tokens = tokens + params["temporal_pos_embed"].astype(tokens.dtype)
+        tokens = L.transformer_block(params["tte0"], tokens, heads, scale, _EPS)
+        tokens = L.layer_norm(params["temporal_norm"], tokens, _EPS)
+        x4 = tokens.reshape(b, n, f, -1).transpose(0, 2, 1, 3)
+
+        if cfg.depth > 1:
+            def pair(carry, step):
+                ste_p, tte_p = step
+                h = carry.reshape(b * f, n, -1)
+                h = L.transformer_block(ste_p, h, heads, scale, _EPS)
+                h = L.layer_norm(params["spatial_norm"], h, _EPS)
+                h = h.reshape(b, f, n, -1).transpose(0, 2, 1, 3).reshape(b * n, f, -1)
+                h = L.transformer_block(tte_p, h, heads, scale, _EPS)
+                h = L.layer_norm(params["temporal_norm"], h, _EPS)
+                return h.reshape(b, n, f, -1).transpose(0, 2, 1, 3), None
+
+            x4, _ = jax.lax.scan(pair, x4, (params["ste_rest"], params["tte_rest"]))
+
+        out = L.layer_norm(params["head_norm"], x4, eps=1e-5)
+        return L.linear(params["head"], out).astype(jnp.float32)
+
+    # ---------------- diffusion train path ----------------
+    def q_sample(self, x_start: jnp.ndarray, t: jnp.ndarray,
+                 noise: jnp.ndarray) -> jnp.ndarray:
+        sac = jnp.asarray(self.sqrt_alphas_cumprod, jnp.float32)[t]
+        somac = jnp.asarray(self.sqrt_one_minus_alphas_cumprod, jnp.float32)[t]
+        shape = (-1,) + (1,) * (x_start.ndim - 1)
+        return sac.reshape(shape) * x_start + somac.reshape(shape) * noise
+
+    def apply(self, params: Params, state: Params, x_2d: jnp.ndarray,
+              x_3d: jnp.ndarray | None = None, train: bool = True,
+              key: jax.Array | None = None) -> tuple[jnp.ndarray, Params]:
+        """Train forward (`diffusionpose.py:565-581`): q-sample the target at
+        a random timestep, denoise. Requires x_3d (clean target) and key."""
+        cfg = self.cfg
+        if not train:
+            return self.sample(params, x_2d, key=key), state
+        assert x_3d is not None and key is not None
+        b = x_2d.shape[0]
+        kt, kn = jax.random.split(key)
+        t = jax.random.randint(kt, (b,), 0, cfg.timesteps)
+        noise = jax.random.normal(kn, x_3d.shape, jnp.float32)
+        x_start = x_3d * cfg.scale
+        x = self.q_sample(x_start, t, noise)
+        x = jnp.clip(x, -1.1 * cfg.scale, 1.1 * cfg.scale) / cfg.scale
+        pred = self.denoise(params, x_2d[..., : cfg.in_chans], x, t)
+        return pred, state
+
+    # ---------------- DDIM eval path ----------------
+    def sample(self, params: Params, x_2d: jnp.ndarray,
+               key: jax.Array | None = None) -> jnp.ndarray:
+        """DDIM sampling with proposals + optional flip TTA
+        (`diffusionpose.py:507-548`). Returns (B, steps, H, F, N, 3)."""
+        cfg = self.cfg
+        key = key if key is not None else jax.random.key(0)
+        b, f, n, _ = x_2d.shape
+        h = cfg.num_proposals
+        x_2d = x_2d[..., : cfg.in_chans]
+        x2d_rep = jnp.repeat(x_2d[:, None], h, axis=1).reshape(b * h, f, n, -1)
+        x2d_flip_rep = None
+        if cfg.flip_tta:
+            x2d_flip_rep = joint_flip(x2d_rep)
+
+        times = np.linspace(-1, cfg.timesteps - 1, cfg.sampling_timesteps + 1)
+        times = list(reversed(times.astype(int).tolist()))
+        time_pairs = list(zip(times[:-1], times[1:]))
+
+        k0, key = jax.random.split(key)
+        img = jax.random.normal(k0, (b, h, f, n, 3), jnp.float32)
+        preds_all = []
+        for step_idx, (time, time_next) in enumerate(time_pairs):
+            t = jnp.full((b * h,), time, jnp.int32)
+            x_t = jnp.clip(img, -1.1 * cfg.scale, 1.1 * cfg.scale) / cfg.scale
+            x_t_flat = x_t.reshape(b * h, f, n, 3)
+            pred = self.denoise(params, x2d_rep, x_t_flat, t)
+            if cfg.flip_tta:
+                pred_flip = self.denoise(params, x2d_flip_rep,
+                                         joint_flip(x_t_flat), t)
+                pred = (pred + joint_flip(pred_flip)) / 2
+            x_start = jnp.clip(pred.reshape(b, h, f, n, 3) * cfg.scale,
+                               -1.1 * cfg.scale, 1.1 * cfg.scale)
+            preds_all.append(x_start)
+            if time_next < 0:
+                img = x_start
+                continue
+            # pred_noise from x_start (`diffusionpose.py:424-428`)
+            sr = float(self.sqrt_recip_alphas_cumprod[time])
+            srm1 = float(self.sqrt_recipm1_alphas_cumprod[time])
+            pred_noise = (sr * img - x_start) / srm1
+            alpha = float(self.alphas_cumprod[time])
+            alpha_next = float(self.alphas_cumprod[time_next])
+            sigma = math.sqrt((1 - alpha / alpha_next) * (1 - alpha_next) / (1 - alpha))
+            c = math.sqrt(1 - alpha_next - sigma**2)
+            kn, key = jax.random.split(key)
+            noise = jax.random.normal(kn, img.shape, jnp.float32)
+            img = x_start * math.sqrt(alpha_next) + c * pred_noise + sigma * noise
+        return jnp.stack(preds_all, axis=1)
+
+    def parameter_count(self, params: Params) -> int:
+        return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+
+
+@register_model("D3DP")
+def _build(config):
+    cfg = D3DPConfig(
+        num_frame=config.n_frames, num_joints=config.num_joints,
+        embed_dim=config.dim_feat, depth=config.n_layers,
+        num_heads=config.num_heads, mlp_ratio=float(config.mlp_ratio),
+        flip_tta=config.flip)
+    dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32
+    return D3DP(cfg, compute_dtype=dtype)

@@ -393,6 +393,34 @@ def ktpformer_state_dict_to_params(state_dict: dict[str, Any], depth: int
     return params, state
 
 
+def d3dp_state_dict_to_params(state_dict: dict[str, Any], depth: int
+                              ) -> tuple[Params, Params]:
+    """Reference D3DP state_dict (`model/diffusionpose.py`) -> denoiser
+    (params, state). Diffusion schedule buffers are recomputed (they are
+    deterministic functions of `timesteps`)."""
+    sd = strip_module_prefix(state_dict)
+    sd = {k[len("pose_estimator."):]: v for k, v in sd.items()
+          if k.startswith("pose_estimator.")}
+    params: Params = {
+        "spatial_embed": _lin(sd, "Spatial_patch_to_embedding"),
+        "spatial_pos_embed": jnp.asarray(_np(sd["Spatial_pos_embed"])),
+        "temporal_pos_embed": jnp.asarray(_np(sd["Temporal_pos_embed"])),
+        "time_mlp": {"fc1": _lin(sd, "time_mlp.1"),
+                     "fc2": _lin(sd, "time_mlp.3")},
+        "spatial_norm": _ln(sd, "Spatial_norm"),
+        "temporal_norm": _ln(sd, "Temporal_norm"),
+        "head_norm": _ln(sd, "head.0"),
+        "head": _lin(sd, "head.1"),
+    }
+    ste = [_tblock(sd, f"STEblocks.{i}") for i in range(depth)]
+    tte = [_tblock(sd, f"TTEblocks.{i}") for i in range(depth)]
+    params["ste0"], params["tte0"] = ste[0], tte[0]
+    if depth > 1:
+        params["ste_rest"] = jax.tree.map(lambda *xs: jnp.stack(xs), *ste[1:])
+        params["tte_rest"] = jax.tree.map(lambda *xs: jnp.stack(xs), *tte[1:])
+    return params, {}
+
+
 def torch_state_dict_to_params(state_dict: dict[str, Any], n_layers: int = 26
                                ) -> tuple[Params, Params]:
     """Reference KASportsFormer state_dict -> (params, state) pytrees."""

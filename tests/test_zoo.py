@@ -175,6 +175,65 @@ def test_ktpformer_parity():
     assert jmodel.parameter_count(params) == want_n
 
 
+def test_d3dp_parity():
+    torch = pytest.importorskip("torch")
+    enable_reference_imports()
+    from types import SimpleNamespace
+
+    from model.diffusionpose import D3DP as TorchD3DP
+    from model.diffusionpose import cosine_beta_schedule as ref_schedule
+
+    from kasportsformer_tpu.models.zoo.d3dp import (
+        D3DP,
+        D3DPConfig,
+        cosine_beta_schedule,
+    )
+    from kasportsformer_tpu.train.checkpoint import d3dp_state_dict_to_params
+
+    # diffusion schedule buffers match exactly
+    np.testing.assert_allclose(cosine_beta_schedule(50),
+                               ref_schedule(50).numpy(), atol=1e-12)
+
+    torch.manual_seed(23)
+    args = SimpleNamespace(num_frame=27, timestep=50, scale=1.0, cs=32, dep=3,
+                           test_time_augmentation=True)
+    tmodel = TorchD3DP(args, joints_left=[4, 5, 6, 11, 12, 13],
+                       joints_right=[1, 2, 3, 14, 15, 16], is_train=True,
+                       num_proposals=2, sampling_timesteps=2)
+    tmodel.eval()
+
+    cfg = D3DPConfig(num_frame=27, embed_dim=32, depth=3, timesteps=50,
+                     sampling_timesteps=2, num_proposals=2)
+    jmodel = D3DP(cfg)
+    params, state = d3dp_state_dict_to_params(tmodel.state_dict(), depth=3)
+
+    np.testing.assert_allclose(jmodel.alphas_cumprod,
+                               tmodel.alphas_cumprod.numpy(), atol=1e-6)
+
+    # denoiser parity (train-shape inputs)
+    x2d = _x()[..., :2]
+    x3d = RNG.standard_normal((2, 27, 17, 3)).astype(np.float32)
+    t = np.array([3, 47], np.int64)
+    with torch.no_grad():
+        want = tmodel.pose_estimator(torch.from_numpy(x2d),
+                                     torch.from_numpy(x3d),
+                                     torch.from_numpy(t)).numpy()
+    got = np.asarray(jax.jit(jmodel.denoise)(params, jnp.asarray(x2d),
+                                             jnp.asarray(x3d), jnp.asarray(t)))
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-4)
+
+    # our DDIM sampler: correct shape, finite, deterministic under a fixed key
+    x_fixed = jnp.asarray(_x()[..., :2])
+    out1 = jmodel.sample(params, x_fixed, key=jax.random.key(1))
+    out2 = jmodel.sample(params, x_fixed, key=jax.random.key(1))
+    assert out1.shape == (2, 2, 2, 27, 17, 3)  # (B, steps, H, F, N, 3)
+    assert np.isfinite(np.asarray(out1)).all()
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+    want_n = sum(p.numel() for p in tmodel.parameters() if p.requires_grad)
+    assert jmodel.parameter_count(params) == want_n
+
+
 def test_mixste_parity():
     torch = pytest.importorskip("torch")
     enable_reference_imports()
