@@ -4,6 +4,7 @@ this package registers every zoo model with the factory."""
 from kasportsformer_tpu.models.zoo import (  # noqa: F401
     d3dp,
     dstformer,
+    hdformer,
     ktpformer,
     mixste,
     motionagformer,

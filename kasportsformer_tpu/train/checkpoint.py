@@ -421,6 +421,94 @@ def d3dp_state_dict_to_params(state_dict: dict[str, Any], depth: int
     return params, {}
 
 
+def hdformer_state_dict_to_params(state_dict: dict[str, Any],
+                                  attention: bool = True, max_hop: int = 4
+                                  ) -> tuple[Params, Params]:
+    """Reference HDFormer `vertex_model.Model` state_dict -> (params, state)."""
+    from kasportsformer_tpu.models.zoo.hdformer import HOP_EDGES, _DOWN_SPEC
+
+    sd = strip_module_prefix(state_dict)
+
+    def foa(base: str, has_down: bool) -> tuple[Params, Params]:
+        p: Params = {"PA": jnp.asarray(_np(sd[f"{base}.PA"])), "subsets": []}
+        for j in range(3):
+            p["subsets"].append({
+                "linear": _lin(sd, f"{base}.linears.{j}"),
+                "conv_a": _conv(sd, f"{base}.conv_a.{j}"),
+                "conv_b": _conv(sd, f"{base}.conv_b.{j}"),
+                "conv_d": _conv(sd, f"{base}.conv_d.{j}"),
+            })
+        bn_p, bn_s = _bn2d(sd, f"{base}.bn")
+        p["bn"] = bn_p
+        s: Params = {"bn": bn_s}
+        if has_down:
+            dbn_p, dbn_s = _bn2d(sd, f"{base}.down.1")
+            p["down"] = {"conv": _conv(sd, f"{base}.down.0"), "bn": dbn_p}
+            s["down_bn"] = dbn_s
+        return p, s
+
+    def hoa(base: str, has_residual_conv: bool, block_max_hop: int
+            ) -> tuple[Params, Params]:
+        has_down = f"{base}.foa_block.down.0.weight" in sd
+        foa_p, foa_s = foa(f"{base}.foa_block", has_down)
+        bn1_p, bn1_s = _bn2d(sd, f"{base}.tcn_v.0")
+        bn2_p, bn2_s = _bn2d(sd, f"{base}.tcn_v.3")
+        p: Params = {"foa": foa_p, "tcn_conv": _conv(sd, f"{base}.tcn_v.2"),
+                     "tcn_bn1": bn1_p, "tcn_bn2": bn2_p}
+        s: Params = {"foa": foa_s, "tcn_bn1": bn1_s, "tcn_bn2": bn2_s}
+        if has_residual_conv:
+            rbn_p, rbn_s = _bn2d(sd, f"{base}.residual_v.1")
+            p["residual"] = {"conv": _conv(sd, f"{base}.residual_v.0"),
+                             "bn": rbn_p}
+            s["residual_bn"] = rbn_s
+        if attention:
+            p["attn"] = {k: _lin(sd, f"{base}.cross_attn.to_{k[-1]}")
+                         for k in ("to_q", "to_k", "to_v")}
+            p["attn"]["proj"] = _lin(sd, f"{base}.cross_attn.proj")
+            p["norm_v"] = _ln(sd, f"{base}.norm_v")
+            p["mlp"] = {"fc1": _lin(sd, f"{base}.mlp.fc1"),
+                        "fc2": _lin(sd, f"{base}.mlp.fc2")}
+            p["norm_mlp"] = _ln(sd, f"{base}.norm_mlp")
+            hop_linears = []
+            for hop_i in range(block_max_hop - 1):
+                parts = HOP_EDGES[hop_i + 2]
+                hop_linears.append(
+                    [_lin(sd, f"{base}.linears.{hop_i}.{i}")
+                     for i in range(len(parts))])
+            p["hop_linears"] = hop_linears
+        return p, s
+
+    params: Params = {}
+    state: Params = {}
+    if "backbone.data_bn.weight" in sd:
+        bn_p, bn_s = _bn2d(sd, "backbone.data_bn")
+        params["data_bn"], state["data_bn"] = bn_p, bn_s
+    down, down_s = [], []
+    for i, (pi, po, stride, residual) in enumerate(_DOWN_SPEC):
+        has_res_conv = f"backbone.downsample.{i}.residual_v.0.weight" in sd
+        p, s = hoa(f"backbone.downsample.{i}", has_res_conv, 2)
+        down.append(p)
+        down_s.append(s)
+    up, up_s = [], []
+    for i in range(4):
+        has_res_conv = f"backbone.upsample.{i}.residual_v.0.weight" in sd
+        p, s = hoa(f"backbone.upsample.{i}", has_res_conv, 2)
+        up.append(p)
+        up_s.append(s)
+    merge, merge_s = [], []
+    for i in range(4):
+        has_res_conv = f"backbone.merge.{i}.residual_v.0.weight" in sd
+        p, s = hoa(f"backbone.merge.{i}", has_res_conv, max_hop)
+        merge.append(p)
+        merge_s.append(s)
+    params.update(down=down, up=up, merge=merge)
+    state.update(down=down_s, up=up_s, merge=merge_s)
+    params["joint_regressor"] = _conv(sd, "joint_regressor")
+    params["input_adjust"] = _lin(sd, "input_adjust")
+    params["output_adjust"] = _lin(sd, "output_adjust")
+    return params, state
+
+
 def torch_state_dict_to_params(state_dict: dict[str, Any], n_layers: int = 26
                                ) -> tuple[Params, Params]:
     """Reference KASportsFormer state_dict -> (params, state) pytrees."""

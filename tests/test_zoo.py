@@ -234,6 +234,55 @@ def test_d3dp_parity():
     assert jmodel.parameter_count(params) == want_n
 
 
+def test_hdformer_parity(monkeypatch):
+    torch = pytest.importorskip("torch")
+    enable_reference_imports()
+    # the reference hardcodes device='cuda' for the adjacency (`HDFormer.py:24`)
+    orig_tensor = torch.tensor
+
+    def _tensor(*a, **k):
+        if k.get("device") == "cuda":
+            k["device"] = "cpu"
+        return orig_tensor(*a, **k)
+
+    monkeypatch.setattr(torch, "tensor", _tensor)
+    # this torch build returns non-contiguous conv outputs on CPU, which the
+    # reference's `.view` at block.py:257 can't handle; reshape is equivalent
+    monkeypatch.setattr(torch.Tensor, "view", torch.Tensor.reshape)
+    from types import SimpleNamespace
+
+    from model.HDFormer.skeleton import get_skeleton
+    from model.HDFormer.vertex_model import Model as TorchHD
+
+    from kasportsformer_tpu.models.zoo.hdformer import HDFormer, HDFormerConfig
+    from kasportsformer_tpu.train.checkpoint import hdformer_state_dict_to_params
+
+    torch.manual_seed(29)
+    cfg_t = SimpleNamespace(in_channels=2, num_joints=17, data_bn=True,
+                            edeg_importance_weighting=False, residual=True,
+                            dropout=0.0, max_hop=4, attention_down=True,
+                            attention_up=True, attention_merge=True,
+                            regressor_type="conv")
+    tmodel = TorchHD(get_skeleton(), cfg_t)
+    tmodel.eval()
+
+    jmodel = HDFormer(HDFormerConfig(deterministic=False))  # bilinear, like ref
+    params, state = hdformer_state_dict_to_params(tmodel.state_dict())
+
+    x2 = _x()[..., :2]
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(x2)).numpy()
+    got, _ = jax.jit(lambda p, s, v: jmodel.apply(p, s, v, train=False))(
+        params, state, jnp.asarray(x2))
+    got = np.asarray(got)
+    assert got.shape == want.shape == (2, 27, 17, 3)
+    np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-3)
+
+    want_n = sum(p.numel() for p in tmodel.parameters() if p.requires_grad)
+    # reference counts the requires_grad adjacency tensor A only if registered
+    assert jmodel.parameter_count(params) == want_n
+
+
 def test_mixste_parity():
     torch = pytest.importorskip("torch")
     enable_reference_imports()
