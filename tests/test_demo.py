@@ -1,0 +1,214 @@
+"""Demo pipeline tests: camera math, COCO->H36M, SORT, clip chunking,
+batched lifting, and HRNet parity with the reference torch model."""
+
+import importlib.util
+import sys
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from tests.conftest import REFERENCE_ROOT, enable_reference_imports, reference_available
+
+RNG = np.random.default_rng(31)
+
+
+def test_qrot_and_camera_to_world():
+    from kasportsformer_tpu.demo.camera import camera_to_world, qrot
+
+    # identity quaternion
+    v = RNG.standard_normal((5, 3)).astype(np.float32)
+    q = np.tile(np.array([1, 0, 0, 0], np.float32), (5, 1))
+    np.testing.assert_allclose(qrot(q, v), v, atol=1e-6)
+    # 90deg about z: (x,y,z) -> (-y,x,z)
+    s = np.sqrt(0.5)
+    qz = np.tile(np.array([s, 0, 0, s], np.float32), (5, 1))
+    got = qrot(qz, v)
+    np.testing.assert_allclose(got[:, 0], -v[:, 1], atol=1e-5)
+    np.testing.assert_allclose(got[:, 1], v[:, 0], atol=1e-5)
+    # translation
+    out = camera_to_world(v, np.array([1, 0, 0, 0], np.float32), 5.0)
+    np.testing.assert_allclose(out, v + 5.0, atol=1e-6)
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference repo not mounted")
+def test_camera_math_matches_reference():
+    enable_reference_imports()
+    demo_lib = REFERENCE_ROOT + "/demo"
+    if demo_lib not in sys.path:
+        sys.path.insert(0, demo_lib)
+    from lib.utils import camera_to_world as ref_c2w
+    from lib.utils import normalize_screen_coordinates as ref_norm
+
+    from kasportsformer_tpu.demo.camera import (
+        DEMO_CAMERA_QUATERNION,
+        camera_to_world,
+        normalize_screen_coordinates,
+    )
+
+    x = RNG.uniform(0, 1280, (27, 17, 3)).astype(np.float32)
+    np.testing.assert_allclose(normalize_screen_coordinates(x, 1280, 720),
+                               ref_norm(x, 1280, 720), atol=1e-6)
+    p = RNG.standard_normal((17, 3)).astype(np.float32)
+    np.testing.assert_allclose(
+        camera_to_world(p, DEMO_CAMERA_QUATERNION, 0),
+        ref_c2w(p, R=DEMO_CAMERA_QUATERNION, t=0), atol=1e-5)
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference repo not mounted")
+def test_coco_h36m_matches_reference():
+    enable_reference_imports()
+    demo_lib = REFERENCE_ROOT + "/demo"
+    if demo_lib not in sys.path:
+        sys.path.insert(0, demo_lib)
+    from lib.preprocess import h36m_coco_format as ref_format
+    from lib.preprocess import revise_kpts as ref_revise
+
+    from kasportsformer_tpu.demo.coco_h36m import h36m_format, revise_low_confidence
+
+    kpts = RNG.uniform(0, 1000, (1, 20, 17, 2)).astype(np.float32)
+    scores = RNG.uniform(0, 1, (1, 20, 17)).astype(np.float32)
+    want_k, want_s, want_v = ref_format(kpts.copy(), scores.copy())
+    got_k, got_s, got_v = h36m_format(kpts, scores)
+    np.testing.assert_allclose(got_k, want_k, atol=1e-4)
+    np.testing.assert_allclose(got_s, want_s, atol=1e-6)
+    np.testing.assert_array_equal(got_v[0], want_v[0])
+
+    want_r = ref_revise(want_k.copy(), want_s, want_v)
+    got_r = revise_low_confidence(got_k.copy(), got_s, got_v)
+    np.testing.assert_allclose(got_r, want_r, atol=1e-4)
+
+
+def test_sort_tracks_moving_box():
+    from kasportsformer_tpu.demo.tracking import Sort
+
+    tracker = Sort(min_hits=0)
+    ids = []
+    for t in range(10):
+        det = np.array([[100 + 5 * t, 100, 200 + 5 * t, 300, 0.9]])
+        out = tracker.update(det)
+        assert out.shape[0] == 1
+        ids.append(int(out[0, 4]))
+        # track follows the box
+        assert abs(out[0, 0] - (100 + 5 * t)) < 30
+    assert len(set(ids)) == 1  # single stable identity
+
+    # two separated boxes -> two identities
+    tracker2 = Sort(min_hits=0)
+    for t in range(5):
+        dets = np.array([[0, 0, 50, 50, 0.9], [500, 500, 600, 700, 0.9]])
+        out = tracker2.update(dets)
+    assert out.shape[0] == 2
+    assert len(set(out[:, 4].astype(int))) == 2
+
+
+def test_turn_into_clips():
+    from kasportsformer_tpu.demo.lifting import turn_into_clips
+
+    kpts = RNG.standard_normal((1, 60, 17, 3)).astype(np.float32)
+    clips, downsample = turn_into_clips(kpts, 27)
+    assert len(clips) == 3  # 27 + 27 + stretched tail of 6
+    assert all(c.shape == (1, 27, 17, 3) for c in clips)
+    assert len(downsample) == 6  # unique source frames in the tail
+
+    short = RNG.standard_normal((1, 10, 17, 3)).astype(np.float32)
+    clips, downsample = turn_into_clips(short, 27)
+    assert len(clips) == 1 and len(downsample) == 10
+
+    exact = RNG.standard_normal((1, 54, 17, 3)).astype(np.float32)
+    clips, downsample = turn_into_clips(exact, 27)
+    assert len(clips) == 2 and len(downsample) == 27  # identity mapping
+
+
+def test_lift_keypoints_end_to_end():
+    from kasportsformer_tpu.demo.lifting import lift_keypoints
+    from kasportsformer_tpu.models.kasportsformer import (
+        KASportsFormer,
+        KASportsFormerConfig,
+    )
+
+    model = KASportsFormer(KASportsFormerConfig(n_layers=2, dim_feat=32,
+                                                dim_rep=64, num_heads=4))
+    params, state = model.init(jax.random.key(0))
+    kpts = RNG.uniform(0, 1000, (1, 40, 17, 3)).astype(np.float32)
+    poses = lift_keypoints(model, params, state, kpts, 1280, 720)
+    assert poses.shape == (40, 17, 3)
+    assert np.isfinite(poses).all()
+    # grounding + normalization: z >= 0, max coordinate == 1 per frame
+    assert poses[..., 2].min() >= -1e-5
+    np.testing.assert_allclose(poses.reshape(40, -1).max(1), 1.0, atol=1e-5)
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference repo not mounted")
+def test_hrnet_parity():
+    torch = pytest.importorskip("torch")
+    # import the reference pose_hrnet module directly by path
+    spec = importlib.util.spec_from_file_location(
+        "ref_pose_hrnet",
+        REFERENCE_ROOT + "/demo/lib/hrnet/lib/models/pose_hrnet.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    from kasportsformer_tpu.demo.hrnet import (
+        HRNet,
+        HRNetConfig,
+        hrnet_state_dict_to_params,
+    )
+
+    # tiny HRNet: same topology, small channels, for a fast parity check
+    extra = {
+        "STAGE2": {"NUM_MODULES": 1, "NUM_BRANCHES": 2, "BLOCK": "BASIC",
+                   "NUM_BLOCKS": [2, 2], "NUM_CHANNELS": [8, 16],
+                   "FUSE_METHOD": "SUM"},
+        "STAGE3": {"NUM_MODULES": 2, "NUM_BRANCHES": 3, "BLOCK": "BASIC",
+                   "NUM_BLOCKS": [2, 2, 2], "NUM_CHANNELS": [8, 16, 32],
+                   "FUSE_METHOD": "SUM"},
+        "STAGE4": {"NUM_MODULES": 1, "NUM_BRANCHES": 4, "BLOCK": "BASIC",
+                   "NUM_BLOCKS": [2, 2, 2, 2], "NUM_CHANNELS": [8, 16, 32, 64],
+                   "FUSE_METHOD": "SUM"},
+        "FINAL_CONV_KERNEL": 1,
+        "PRETRAINED_LAYERS": ["*"],
+    }
+    cfg_t = {"MODEL": {"EXTRA": extra, "NUM_JOINTS": 17}}
+    torch.manual_seed(41)
+    tmodel = mod.PoseHighResolutionNet(cfg_t)
+    tmodel.eval()
+
+    jcfg = HRNetConfig(
+        stage2=(1, 2, (2, 2), (8, 16)),
+        stage3=(2, 3, (2, 2, 2), (8, 16, 32)),
+        stage4=(1, 4, (2, 2, 2, 2), (8, 16, 32, 64)))
+    jmodel = HRNet(jcfg)
+    params, state = hrnet_state_dict_to_params(tmodel.state_dict(), jcfg)
+
+    x = RNG.standard_normal((2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(x)).numpy()
+    got, _ = jax.jit(lambda p, s, v: jmodel.apply(p, s, v, train=False))(
+        params, state, jnp.asarray(x))
+    got = np.asarray(got)
+    assert got.shape == want.shape == (2, 17, 16, 16)
+    np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-3)
+
+    want_n = sum(p.numel() for p in tmodel.parameters() if p.requires_grad)
+    assert jmodel.parameter_count(params) == want_n
+
+
+def test_heatmap_decode():
+    from kasportsformer_tpu.demo.pose2d import decode_heatmaps, get_max_preds
+
+    hm = np.zeros((1, 2, 32, 24), np.float32)
+    hm[0, 0, 10, 5] = 1.0
+    hm[0, 0, 10, 6] = 0.5  # gradient pulls +x
+    hm[0, 1, 20, 12] = 2.0
+    coords, maxvals = get_max_preds(hm)
+    np.testing.assert_array_equal(coords[0, 0], [5, 10])
+    np.testing.assert_array_equal(coords[0, 1], [12, 20])
+    assert maxvals[0, 1, 0] == 2.0
+
+    center = [np.array([100.0, 100.0])]
+    scale = [np.array([1.0, 1.0])]
+    preds, _ = decode_heatmaps(hm, center, scale)
+    assert preds.shape == (1, 2, 2)
+    assert np.isfinite(preds).all()
