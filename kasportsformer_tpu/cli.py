@@ -240,6 +240,19 @@ def _forward_flops(fwd, params, state, x) -> float | None:
         return None
 
 
+def cmd_demo(args: argparse.Namespace) -> int:
+    _jax()
+    from kasportsformer_tpu.demo.pipeline import run_demo
+
+    video_name = os.path.splitext(os.path.basename(args.video))[0]
+    output_dir = args.output_dir or os.path.join("./output", video_name)
+    run_demo(args.video, output_dir, args.config_path, args.checkpoint,
+             args.yolo_cfg, args.yolo_weights, args.hrnet_weights,
+             elev=args.elev, azim=args.azim)
+    print(os.path.join(output_dir, "demo.mp4"))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(prog="kasportsformer_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -266,6 +279,19 @@ def build_parser() -> argparse.ArgumentParser:
                         help="write one pkl per clip (reference layout)")
     p_prep.add_argument("--seed", type=int, default=0)
     p_prep.set_defaults(fn=cmd_preprocess)
+
+    p_demo = sub.add_parser("demo", help="in-the-wild video demo")
+    p_demo.add_argument("--video", required=True)
+    p_demo.add_argument("--config", required=True, dest="config_path")
+    p_demo.add_argument("--model", required=True, dest="checkpoint",
+                        help="lifter checkpoint (.pth)")
+    p_demo.add_argument("--yolo-cfg", required=True)
+    p_demo.add_argument("--yolo-weights", required=True)
+    p_demo.add_argument("--hrnet-weights", required=True)
+    p_demo.add_argument("--output-dir", default=None)
+    p_demo.add_argument("--elev", type=float, default=5)
+    p_demo.add_argument("--azim", type=float, default=5)
+    p_demo.set_defaults(fn=cmd_demo)
 
     p_bench = sub.add_parser("bench", help="params/FLOPs/throughput")
     p_bench.add_argument("--config-path", default=None)

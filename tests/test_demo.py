@@ -195,6 +195,42 @@ def test_hrnet_parity():
     assert jmodel.parameter_count(params) == want_n
 
 
+def test_gen_video_kpts_orchestration(monkeypatch):
+    """Detection -> SORT -> batched HRNet seams, with a stubbed detector and
+    a tiny random HRNet."""
+    from kasportsformer_tpu.demo import pipeline
+    from kasportsformer_tpu.demo.hrnet import HRNet, HRNetConfig
+
+    frames = [np.full((240, 320, 3), i * 10, np.uint8) for i in range(6)]
+
+    def fake_detect(model, params, fr, **kw):
+        out = []
+        for i in range(len(fr)):
+            box = np.array([[50 + 2 * i, 40, 150 + 2 * i, 200]], np.float32)
+            out.append((box, np.array([[0.9]], np.float32)))
+        out[3] = (None, None)  # a dropped frame reuses the previous boxes
+        return out
+
+    monkeypatch.setattr("kasportsformer_tpu.demo.yolov3.detect_humans_batched",
+                        fake_detect)
+
+    hrnet = HRNet(HRNetConfig(
+        stage2=(1, 2, (1, 1), (4, 8)),
+        stage3=(1, 3, (1, 1, 1), (4, 8, 16)),
+        stage4=(1, 4, (1, 1, 1, 1), (4, 8, 16, 32)),
+        image_size=(64, 64)))
+    hp, hs = hrnet.init(jax.random.key(0))
+
+    kpts, scores = pipeline.gen_video_kpts(
+        frames, yolo_model=None, yolo_params=None, hrnet_model=hrnet,
+        hrnet_params=hp, hrnet_state=hs, num_person=1, batch_size=4)
+    assert kpts.shape == (1, 6, 17, 2)
+    assert scores.shape == (1, 6, 17)
+    assert np.isfinite(kpts).all()
+    # every frame produced keypoints (frame 3 fell back to previous boxes)
+    assert (np.abs(kpts).sum(axis=(2, 3)) > 0).all()
+
+
 def test_heatmap_decode():
     from kasportsformer_tpu.demo.pose2d import decode_heatmaps, get_max_preds
 
