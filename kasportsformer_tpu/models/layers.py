@@ -22,8 +22,8 @@ matches the reference recipe and converted torch checkpoints drop in.
 
 from __future__ import annotations
 
+import functools
 import math
-from functools import partial
 from typing import Any
 
 import jax
@@ -104,47 +104,52 @@ def attention_init(key: jax.Array, dim: int, qkv_bias: bool = False) -> Params:
     }
 
 
-def _heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
-    """(B, T, J, C) -> (B, H, T, J, C/H)"""
-    b, t, j, c = x.shape
-    return x.reshape(b, t, j, num_heads, c // num_heads).transpose(0, 3, 1, 2, 4)
+@functools.lru_cache(maxsize=8)
+def _head_mask(c: int, num_heads: int) -> np.ndarray:
+    """(C, H) 0/1 mask: mask[ch, h] = 1 iff channel ch belongs to head h."""
+    d = c // num_heads
+    mask = np.zeros((c, num_heads), np.float32)
+    for ch in range(c):
+        mask[ch, ch // d] = 1.0
+    return mask
 
 
-def _unheads(x: jnp.ndarray) -> jnp.ndarray:
-    """(B, H, T, J, D) -> (B, T, J, H*D)"""
-    b, h, t, j, d = x.shape
-    return x.transpose(0, 2, 3, 1, 4).reshape(b, t, j, h * d)
+def _sdpa_tokens(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
+                 num_heads: int) -> jnp.ndarray:
+    """Multi-head SDPA over the second-to-last axis of (..., N, C) streams.
+
+    TPU-native formulation: instead of splitting channels into H heads of
+    tiny width D (which puts D=C/H in the minor/lane dimension — measured
+    ~8x padding waste and 6+ ms per call at batch 256), the keys/values are
+    expanded against a (C, H) head mask so BOTH attention matmuls contract
+    over the full C channels (MXU-aligned):
+
+        km[..., c, (h, j)] = k[..., j, c] * mask[c, h]
+        logits[..., i, (h, j)] = sum_c q[..., i, c] * km[..., c, (h, j)]
+
+    which equals the per-head logits exactly (masked channels contribute
+    zeros). On TPU with 4-D inputs this dispatches to the Pallas kernel in
+    `ops/attention.py`, which keeps the head expansion entirely in VMEM
+    (another ~2.5x: the XLA form is HBM-bound on the ~1 MB/clip expansion);
+    elsewhere it runs the pure-XLA masked form.
+    """
+    from kasportsformer_tpu.ops.attention import masked_sdpa
+
+    return masked_sdpa(q, k, v, scale, num_heads)
 
 
 def _sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
-          axis: str) -> jnp.ndarray:
-    """Scaled dot-product attention over the joint ('spatial') or frame
-    ('temporal') axis of (B, H, T, J, D) tensors. Softmax in float32.
-
-    Expressed as `lax.dot_general` with explicit (B,H,·) batch dims: the
-    equivalent multi-batch-dim einsums compile to a ~2000x-slower program on
-    TPU (measured: 63 s vs 32 ms for the spatial case at B=256 — einsum's
-    contraction planning inserts catastrophic transposes), while dot_general
-    maps straight onto batched MXU matmuls.
-    """
-    if axis == "spatial":  # attend over J, independently per (B,H,T)
-        # (bht)jd x (bht)kd -> (bht)jk
-        logits = jax.lax.dot_general(
-            q, k, (((4,), (4,)), ((0, 1, 2), (0, 1, 2)))) * scale
-        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
-        # (bht)jk x (bht)kd -> (bht)jd
-        return jax.lax.dot_general(
-            probs, v, (((4,), (3,)), ((0, 1, 2), (0, 1, 2))))
-    if axis == "temporal":  # attend over T, independently per (B,H,J)
-        qt = q.transpose(0, 1, 3, 2, 4)  # (B,H,J,T,D)
-        kt = k.transpose(0, 1, 3, 2, 4)
-        vt = v.transpose(0, 1, 3, 2, 4)
-        logits = jax.lax.dot_general(
-            qt, kt, (((4,), (4,)), ((0, 1, 2), (0, 1, 2)))) * scale
-        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
-        out = jax.lax.dot_general(
-            probs, vt, (((4,), (3,)), ((0, 1, 2), (0, 1, 2))))
-        return out.transpose(0, 1, 3, 2, 4)
+          axis: str, num_heads: int) -> jnp.ndarray:
+    """Factored spatial/temporal attention on (B, T, J, C) streams: 'spatial'
+    attends over J per (B, T); 'temporal' over T per (B, J)."""
+    if axis == "spatial":
+        return _sdpa_tokens(q, k, v, scale, num_heads)
+    if axis == "temporal":
+        qt = q.transpose(0, 2, 1, 3)
+        kt = k.transpose(0, 2, 1, 3)
+        vt = v.transpose(0, 2, 1, 3)
+        out = _sdpa_tokens(qt, kt, vt, scale, num_heads)
+        return out.transpose(0, 2, 1, 3)
     raise ValueError(axis)
 
 
@@ -155,26 +160,22 @@ def attention(p: Params, x: jnp.ndarray, num_heads: int, mode: str,
     scale = qk_scale or (c // num_heads) ** -0.5
     qkv = linear(p["qkv"], x)
     q, k, v = jnp.split(qkv, 3, axis=-1)
-    out = _sdpa(_heads(q, num_heads), _heads(k, num_heads), _heads(v, num_heads),
-                scale, mode)
-    return linear(p["proj"], _unheads(out))
+    out = _sdpa(q, k, v, scale, mode, num_heads)
+    return linear(p["proj"], out)
 
 
 def attention_tokens(p: Params, x: jnp.ndarray, num_heads: int,
                      qk_scale: float | None = None) -> jnp.ndarray:
     """Standard MHSA on a flat token stream (M, N, C) — the building block of
     the MixSTE/DSTFormer family (`model/MixSTE.py:61-106`), where M batches
-    whatever axis isn't being attended over."""
-    m, n, c = x.shape
-    d = c // num_heads
-    scale = qk_scale or d**-0.5
-    qkv = linear(p["qkv"], x).reshape(m, n, 3, num_heads, d)
-    qkv = qkv.transpose(2, 0, 3, 1, 4)  # (3, M, H, N, D)
-    q, k, v = qkv[0], qkv[1], qkv[2]
-    logits = jax.lax.dot_general(q, k, (((3,), (3,)), ((0, 1), (0, 1)))) * scale
-    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
-    out = jax.lax.dot_general(probs, v, (((3,), (2,)), ((0, 1), (0, 1))))
-    return linear(p["proj"], out.transpose(0, 2, 1, 3).reshape(m, n, c))
+    whatever axis isn't being attended over. Uses the head-masked full-C
+    contraction (see `_sdpa_tokens`)."""
+    c = x.shape[-1]
+    scale = qk_scale or (c // num_heads) ** -0.5
+    qkv = linear(p["qkv"], x)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    out = _sdpa_tokens(q, k, v, scale, num_heads)
+    return linear(p["proj"], out)
 
 
 def transformer_block_init(key: jax.Array, dim: int, mlp_ratio: float,
@@ -230,9 +231,8 @@ def cross_attention(p: Params, x: jnp.ndarray, x_kv: jnp.ndarray, num_heads: int
     scale = qk_scale or (c // num_heads) ** -0.5
     q = linear(p["q"], x)
     k, v = jnp.split(linear(p["kv"], x_kv), 2, axis=-1)
-    out = _sdpa(_heads(q, num_heads), _heads(k, num_heads), _heads(v, num_heads),
-                scale, mode)
-    return linear(p["proj"], _unheads(out))
+    out = _sdpa(q, k, v, scale, mode, num_heads)
+    return linear(p["proj"], out)
 
 
 # ---------------------------------------------------------------- GCN
@@ -329,7 +329,15 @@ def gcn(p: Params, state: Params, x: jnp.ndarray, mode: str, train: bool,
             agg = jnp.einsum("ts,nsc->ntc", norm_adj, linear(p["V"], tokens))
         else:
             sim = jnp.einsum("ntc,nsc->nts", tokens, tokens)
-            kth = jax.lax.top_k(sim, neighbour_num)[0][..., -1:]  # (BJ, T, 1)
+            # k-th largest via iterative max (VPU) — lax.top_k costs ~20x
+            # more here (measured 1.9 ms vs 0.09 ms at batch 256); equal to
+            # top_k's threshold except on exact ties among the top-k, where
+            # this admits the tied values too (degenerate inputs only).
+            s = sim.astype(jnp.float32)
+            for _ in range(neighbour_num - 1):
+                m = jnp.max(s, axis=-1, keepdims=True)
+                s = jnp.where(s >= m, -jnp.inf, s)
+            kth = jnp.max(s, axis=-1, keepdims=True).astype(sim.dtype)
             adj = (sim >= kth).astype(x.dtype)  # (BJ, T, T)
             norm_adj = normalize_adjacency(adj)
             agg = jnp.einsum("nts,nsc->ntc", norm_adj, linear(p["V"], tokens))

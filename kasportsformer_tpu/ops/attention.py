@@ -1,0 +1,136 @@
+"""Fused factored-attention Pallas kernel.
+
+The flagship model's hot op is tiny-sequence multi-head attention: per
+(batch, frame) a (17 x 16) @ (16 x 17) product per head — shapes that XLA can
+only run at <1% MXU utilization (the 16-wide head dim lands in the 128-lane
+minor dimension). The fix used on the XLA path — expanding keys/values
+against a (C, H) head mask so both matmuls contract over the full 128
+channels — is itself HBM-bound: the expansion materializes ~1 MB per clip
+per call.
+
+This kernel performs the SAME masked-contraction attention with the
+expansion living entirely in VMEM: per grid step one batch element's
+(G, N, C) q/k/v blocks are loaded once, the head-expanded (G, C, H*N) keys
+and (G, H*N, C) values are built on-chip, and both attention matmuls run as
+G-batched MXU dots with 128-deep contractions. HBM traffic is just
+q/k/v in + out.
+
+Numerics match the jnp reference exactly up to f32 accumulation order
+(masked channels contribute exact zeros). `masked_sdpa` dispatches to the
+kernel on TPU and to the jnp formulation elsewhere.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+@functools.lru_cache(maxsize=8)
+def _head_mask(c: int, num_heads: int) -> np.ndarray:
+    d = c // num_heads
+    mask = np.zeros((c, num_heads), np.float32)
+    for ch in range(c):
+        mask[ch, ch // d] = 1.0
+    return mask
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, mask_k_ref, mask_v_ref, seg_ref,
+                 out_ref, *, scale: float, num_heads: int):
+    blk, g0, n0, c0 = q_ref.shape
+    q = q_ref[...].reshape(blk * g0, n0, c0)  # (G, N, C)
+    k = k_ref[...].reshape(blk * g0, n0, c0)
+    v = v_ref[...].reshape(blk * g0, n0, c0)
+    h = num_heads
+
+    # km: (G, C, H*N) — keys transposed, tiled over heads, masked in VMEM
+    kt = jnp.swapaxes(k, 1, 2)  # (G, C, N)
+    km = jnp.concatenate([kt] * h, axis=-1) * mask_k_ref[...][None]
+    logits = jax.lax.dot_general(
+        q, km, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale  # (G, N, H*N)
+
+    # Per-head softmax WITHOUT splitting the lane dim (Mosaic can't reshape
+    # it): subtract the row-global max (softmax is shift-invariant within
+    # each head segment), exponentiate, and compute per-segment sums by a
+    # matmul with a block-diagonal ones matrix.
+    rowmax = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - rowmax)  # (G, N, H*N)
+    denom = jax.lax.dot_general(
+        e, seg_ref[...], (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (G, N, H*N)
+    probs = (e / denom).astype(q.dtype)
+
+    # vm: (G, H*N, C) — values tiled over heads, masked
+    vm = jnp.concatenate([v] * h, axis=1) * mask_v_ref[...][None]
+    out = jax.lax.dot_general(
+        probs, vm, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    out_ref[...] = out.astype(out_ref.dtype).reshape(blk, g0, n0, c0)
+
+
+def masked_sdpa_pallas(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                       scale: float, num_heads: int, block_b: int = 1,
+                       interpret: bool = False) -> jnp.ndarray:
+    """q, k, v: (B, G, N, C) — attention over N, per (B, G). `block_b` batch
+    elements are processed per grid step to amortize per-step overhead."""
+    b, g, n, c = q.shape
+    h = num_heads
+    while b % block_b:
+        block_b //= 2
+    spec = pl.BlockSpec((block_b, g, n, c), lambda i: (i, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+    mask = _head_mask(c, h)  # (C, H)
+    # mask_k[c, i*n + j] = mask[c, i]; mask_v = mask_k.T
+    mask_k = jnp.asarray(np.repeat(mask, n, axis=1), q.dtype)  # (C, H*N)
+    mask_v = jnp.asarray(np.repeat(mask, n, axis=1).T, q.dtype)  # (H*N, C)
+    mk_spec = pl.BlockSpec((c, h * n), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    mv_spec = pl.BlockSpec((h * n, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    # block-diagonal ones (H*N, H*N): segment-sum operator for the softmax
+    seg = jnp.asarray(np.kron(np.eye(h, dtype=np.float32),
+                              np.ones((n, n), np.float32)))
+    seg_spec = pl.BlockSpec((h * n, h * n), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_attn_kernel, scale=scale, num_heads=num_heads),
+        grid=(b // block_b,),
+        in_specs=[spec, spec, spec, mk_spec, mv_spec, seg_spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        interpret=interpret,
+    )(q, k, v, mask_k, mask_v, seg)
+
+
+def masked_sdpa_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                    scale: float, num_heads: int) -> jnp.ndarray:
+    """jnp fallback with identical numerics (HBM-bound on TPU)."""
+    *batch, n, c = q.shape
+    mask = jnp.asarray(_head_mask(c, num_heads), q.dtype)
+    nb = len(batch)
+    bdims = tuple(range(nb))
+    km = (k[..., None, :, :] * mask.T[:, None, :]).transpose(
+        *bdims, nb + 2, nb, nb + 1).reshape(*batch, c, num_heads * n)
+    logits = jax.lax.dot_general(
+        q, km, (((nb + 1,), (nb,)), (bdims, bdims))) * scale
+    logits = logits.reshape(*batch, n, num_heads, n)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+    vm = (v[..., None, :, :] * mask.T[:, None, :]).reshape(
+        *batch, num_heads * n, c)
+    return jax.lax.dot_general(
+        probs.reshape(*batch, n, num_heads * n), vm,
+        (((nb + 1,), (nb,)), (bdims, bdims)))
+
+
+def masked_sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
+                num_heads: int) -> jnp.ndarray:
+    """Dispatch: Pallas kernel on TPU for 4-D (B,G,N,C) inputs, jnp
+    otherwise. Channels must split evenly across heads."""
+    if (jax.default_backend() == "tpu" and q.ndim == 4
+            and q.shape[-1] % num_heads == 0):
+        return masked_sdpa_pallas(q, k, v, scale, num_heads)
+    return masked_sdpa_xla(q, k, v, scale, num_heads)

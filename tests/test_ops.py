@@ -1,0 +1,59 @@
+"""Pallas kernel correctness (interpret mode on CPU) vs the XLA formulation
+and a per-head numpy oracle."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from kasportsformer_tpu.ops.attention import (
+    masked_sdpa_pallas,
+    masked_sdpa_xla,
+)
+
+RNG = np.random.default_rng(5)
+
+
+def _oracle(q, k, v, scale, h):
+    b, g, n, c = q.shape
+    d = c // h
+    out = np.zeros_like(q, dtype=np.float64)
+    q, k, v = q.astype(np.float64), k.astype(np.float64), v.astype(np.float64)
+    for i in range(h):
+        qs, ks, vs = (z[..., i * d:(i + 1) * d] for z in (q, k, v))
+        lg = np.einsum("bgid,bgjd->bgij", qs, ks) * scale
+        p = np.exp(lg - lg.max(-1, keepdims=True))
+        p /= p.sum(-1, keepdims=True)
+        out[..., i * d:(i + 1) * d] = np.einsum("bgij,bgjd->bgid", p, vs)
+    return out
+
+
+def test_masked_sdpa_xla_matches_oracle():
+    q = RNG.standard_normal((2, 5, 17, 64)).astype(np.float32)
+    k = RNG.standard_normal((2, 5, 17, 64)).astype(np.float32)
+    v = RNG.standard_normal((2, 5, 17, 64)).astype(np.float32)
+    got = np.asarray(masked_sdpa_xla(jnp.asarray(q), jnp.asarray(k),
+                                     jnp.asarray(v), 0.25, 4))
+    np.testing.assert_allclose(got, _oracle(q, k, v, 0.25, 4), atol=1e-5)
+
+
+def test_masked_sdpa_pallas_interpret_matches_xla():
+    q = RNG.standard_normal((2, 5, 17, 64)).astype(np.float32)
+    k = RNG.standard_normal((2, 5, 17, 64)).astype(np.float32)
+    v = RNG.standard_normal((2, 5, 17, 64)).astype(np.float32)
+    want = np.asarray(masked_sdpa_xla(jnp.asarray(q), jnp.asarray(k),
+                                      jnp.asarray(v), 0.3, 4))
+    got = np.asarray(masked_sdpa_pallas(jnp.asarray(q), jnp.asarray(k),
+                                        jnp.asarray(v), 0.3, 4,
+                                        interpret=True))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_masked_sdpa_pallas_block_sizes():
+    q = RNG.standard_normal((4, 3, 9, 32)).astype(np.float32)
+    want = np.asarray(masked_sdpa_pallas(jnp.asarray(q), jnp.asarray(q),
+                                         jnp.asarray(q), 0.5, 4,
+                                         block_b=1, interpret=True))
+    got = np.asarray(masked_sdpa_pallas(jnp.asarray(q), jnp.asarray(q),
+                                        jnp.asarray(q), 0.5, 4,
+                                        block_b=2, interpret=True))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
