@@ -174,11 +174,21 @@ def cmd_preprocess(args: argparse.Namespace) -> int:
     print(f"train clips: {train.inputs.shape}, test clips: {test.inputs.shape}",
           file=sys.stderr)
 
-    if args.reference_format:
+    if args.format == "reference" or args.reference_format:
         root = os.path.join(args.output_root, set_name)
         write_reference_clip_files(root, train)
         write_reference_clip_files(root, test)
         print(f"wrote reference-format clips under {root}", file=sys.stderr)
+    elif args.format == "native":
+        from kasportsformer_tpu.data.clips import (
+            native_clipstore_path,
+            save_native_clipstore,
+        )
+
+        for split, cs in (("train", train), ("test", test)):
+            path = native_clipstore_path(args.output_root, set_name, split)
+            save_native_clipstore(path, cs)
+            print(f"wrote {path}", file=sys.stderr)
     else:
         for split, cs in (("train", train), ("test", test)):
             path = clipstore_path(args.output_root, set_name, split)
@@ -275,8 +285,10 @@ def build_parser() -> argparse.ArgumentParser:
     p_prep.add_argument("--n-frames", type=int, default=27)
     p_prep.add_argument("--output-root", default="./data/clips")
     p_prep.add_argument("--clip-set-name", default=None)
+    p_prep.add_argument("--format", choices=["npz", "native", "reference"],
+                        default="npz")
     p_prep.add_argument("--reference-format", action="store_true",
-                        help="write one pkl per clip (reference layout)")
+                        help="alias for --format reference")
     p_prep.add_argument("--seed", type=int, default=0)
     p_prep.set_defaults(fn=cmd_preprocess)
 

@@ -115,6 +115,56 @@ def clipstore_path(data_root: str, clip_set_name: str, split: str) -> str:
     return os.path.join(data_root, clip_set_name, f"{split}.npz")
 
 
+# ------------------------------------------------ native (C++ mmap) store
+
+
+def save_native_clipstore(path: str, clipset: ClipSet) -> None:
+    """Write the KSF1 binary store (numeric fields; strings in a .json
+    sidecar). Loads through the mmap + threaded-gather C++ reader."""
+    import json
+
+    from kasportsformer_tpu.native import clipstore as native
+
+    arrays = {"inputs": clipset.inputs}
+    for name in ("labels", "labels_scaled", "factors", "res"):
+        value = getattr(clipset, name)
+        if value is not None:
+            arrays[name] = np.asarray(value, np.float32)
+    native.write_store(path, arrays)
+    sidecar = {"split": clipset.split}
+    for name in ("actions", "envtags"):
+        value = getattr(clipset, name)
+        if value is not None:
+            sidecar[name] = [str(v) for v in value]
+    with open(path + ".json", "w") as f:
+        json.dump(sidecar, f)
+
+
+def load_native_clipstore(path: str) -> ClipSet:
+    import json
+
+    from kasportsformer_tpu.native import clipstore as native
+
+    store = native.NativeClipStore(path)
+    with open(path + ".json") as f:
+        sidecar = json.load(f)
+    kwargs: dict = {"split": sidecar["split"]}
+    # copies out of the mmap so the ClipSet owns its memory; callers that
+    # want zero-copy use NativeClipStore directly
+    for name in ("inputs", "labels", "labels_scaled", "factors", "res"):
+        if name in store.names():
+            kwargs[name] = np.array(store.array(name))
+    for name in ("actions", "envtags"):
+        if name in sidecar:
+            kwargs[name] = np.array(sidecar[name])
+    store.close()
+    return ClipSet(**kwargs)
+
+
+def native_clipstore_path(data_root: str, clip_set_name: str, split: str) -> str:
+    return os.path.join(data_root, clip_set_name, f"{split}.ksf")
+
+
 # ------------------------------------------------ reference pkl interchange
 
 
@@ -175,8 +225,11 @@ def read_reference_clip_files(root_path: str, split: str) -> ClipSet:
 
 
 def load_split(data_root: str, clip_set_name: str, split: str) -> ClipSet:
-    """Load a split, preferring the packed store, falling back to a
+    """Load a split: native KSF1 store, then packed .npz, then a
     reference-format clip directory."""
+    native = native_clipstore_path(data_root, clip_set_name, split)
+    if os.path.exists(native):
+        return load_native_clipstore(native)
     packed = clipstore_path(data_root, clip_set_name, split)
     if os.path.exists(packed):
         return load_clipstore(packed)
@@ -185,4 +238,4 @@ def load_split(data_root: str, clip_set_name: str, split: str) -> ClipSet:
         return read_reference_clip_files(ref_dir, split)
     raise FileNotFoundError(
         f"no clip data for {clip_set_name}/{split} under {data_root} "
-        f"(looked for {packed} and {ref_dir}/{split}/*.pkl)")
+        f"(looked for {native}, {packed} and {ref_dir}/{split}/*.pkl)")
