@@ -263,6 +263,85 @@ def cmd_demo(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_export(args: argparse.Namespace) -> int:
+    """Export a native (orbax) checkpoint as a reference-layout .pth so
+    reference users can load weights trained here."""
+    _jax()
+    import torch
+
+    from kasportsformer_tpu.train import checkpoint as ckpt
+
+    payload = ckpt.restore_native(args.checkpoint)
+    sd = ckpt.params_to_torch_state_dict(payload["params"], payload["state"],
+                                         module_prefix=True)
+    torch.save({"epoch": int(payload["meta"]["epoch"]),
+                "learning_rate": float(payload["meta"]["learning_rate"]),
+                "optimizer": {},
+                "model": {k: torch.from_numpy(np.array(v))
+                          for k, v in sd.items()},
+                "min_mpjpe": float(payload["meta"]["min_mpjpe"]),
+                "wandb_id": ""}, args.output)
+    print(args.output)
+    return 0
+
+
+def cmd_profile(args: argparse.Namespace) -> int:
+    """Capture a jax.profiler trace of forward (and optionally train) steps —
+    the runtime tracing the reference lacks (SURVEY.md §5.1)."""
+    jax = _jax()
+    import jax.numpy as jnp
+
+    from kasportsformer_tpu.config import Config, load_config
+    from kasportsformer_tpu.models import build_model
+
+    config = (load_config(args.config_path) if args.config_path else Config())
+    model = build_model(config)
+    params, state = model.init(jax.random.key(0))
+    fwd = jax.jit(lambda p, s, x: model.apply(p, s, x, train=False)[0])
+    x = jnp.zeros((args.batch_size, config.n_frames, config.num_joints,
+                   config.dim_in), jnp.float32)
+    fwd(params, state, x).block_until_ready()  # compile outside the trace
+    os.makedirs(args.trace_dir, exist_ok=True)
+    with jax.profiler.trace(args.trace_dir):
+        for i in range(args.iters):
+            with jax.profiler.StepTraceAnnotation("forward", step_num=i):
+                fwd(params, state, x).block_until_ready()
+    print(args.trace_dir)
+    return 0
+
+
+def cmd_visualize(args: argparse.Namespace) -> int:
+    """Offline qualitative comparison (≙ `utils/visualization.py`)."""
+    jax = _jax()
+    from kasportsformer_tpu.config import load_config
+    from kasportsformer_tpu.data.clips import load_split
+    from kasportsformer_tpu.models import build_model
+    from kasportsformer_tpu.train import checkpoint as ckpt
+    from kasportsformer_tpu.utils.visualization import (
+        generate_prediction_clips,
+        plot_prediction_clips,
+    )
+
+    config = load_config(args.config_path)
+    test_set = load_split(config.data_root, config.clip_set_name, "test")
+    model = build_model(config)
+    if args.checkpoint.endswith(".pth"):
+        sd = ckpt.load_torch_checkpoint(args.checkpoint)
+        params, state = ckpt.torch_state_dict_to_params(sd, config.n_layers)
+    else:
+        payload = ckpt.restore_native(args.checkpoint)
+        params, state = payload["params"], payload["state"]
+    clip_dir = os.path.join(args.output_dir, "clips")
+    n = generate_prediction_clips(model, params, state, test_set, clip_dir,
+                                  flip=config.flip)
+    print(f"predicted {n} clips -> {clip_dir}", file=sys.stderr)
+    if args.render:
+        fig_dir = os.path.join(args.output_dir, "figures")
+        n = plot_prediction_clips(clip_dir, fig_dir, max_clips=args.max_clips)
+        print(f"rendered {n} frames -> {fig_dir}", file=sys.stderr)
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(prog="kasportsformer_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -312,6 +391,26 @@ def build_parser() -> argparse.ArgumentParser:
     p_bench.add_argument("--dtype", default=None,
                          choices=[None, "float32", "bfloat16"])
     p_bench.set_defaults(fn=cmd_bench)
+
+    p_export = sub.add_parser("export", help="native ckpt -> reference .pth")
+    p_export.add_argument("--checkpoint", required=True)
+    p_export.add_argument("--output", required=True)
+    p_export.set_defaults(fn=cmd_export)
+
+    p_prof = sub.add_parser("profile", help="capture a jax.profiler trace")
+    p_prof.add_argument("--config-path", default=None)
+    p_prof.add_argument("--trace-dir", default="./traces")
+    p_prof.add_argument("--batch-size", type=int, default=128)
+    p_prof.add_argument("--iters", type=int, default=5)
+    p_prof.set_defaults(fn=cmd_profile)
+
+    p_vis = sub.add_parser("visualize", help="prediction-vs-GT comparisons")
+    p_vis.add_argument("--config-path", required=True)
+    p_vis.add_argument("--checkpoint", required=True)
+    p_vis.add_argument("--output-dir", default="./visualization")
+    p_vis.add_argument("--render", action="store_true")
+    p_vis.add_argument("--max-clips", type=int, default=None)
+    p_vis.set_defaults(fn=cmd_visualize)
     return parser
 
 

@@ -74,6 +74,20 @@ def test_preprocess_train_evaluate(workspace):
     assert np.isfinite(result["mpjpe"]) and result["mpjpe"] > 0
     assert "p_mpjpe" in result and "acceleration_error" in result
 
+    # export the trained checkpoint to a reference-layout .pth and evaluate it
+    _run(["export", "--checkpoint", str(ws / "ckpt" / "t_best"),
+          "--output", str(ws / "exported.pth")], cwd=ws)
+    proc2 = _run(["evaluate", "--config-path", "config.yaml",
+                  "--checkpoint", str(ws / "exported.pth")], cwd=ws)
+    result2 = json.loads(proc2.stdout.strip().splitlines()[-1])
+    assert abs(result2["mpjpe"] - result["mpjpe"]) < 1e-3
+
+    # offline qualitative visualization (prediction clips only)
+    _run(["visualize", "--config-path", "config.yaml",
+          "--checkpoint", str(ws / "exported.pth"),
+          "--output-dir", str(ws / "vis")], cwd=ws)
+    assert len(list((ws / "vis" / "clips").glob("*.pkl"))) > 0
+
 
 def test_reference_yaml_configs_load():
     from kasportsformer_tpu.config import load_config
