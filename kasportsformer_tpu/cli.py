@@ -60,9 +60,16 @@ def cmd_train(args: argparse.Namespace) -> int:
         params, state, epoch_start, min_mpjpe = _load_train_checkpoint(
             config, params, state, log)
 
+    mesh = None
+    if len(jax.devices()) > 1 and (config.mesh_data != 1 or config.mesh_model != 1):
+        from kasportsformer_tpu import parallel
+
+        mesh = parallel.make_mesh(config.mesh_data, config.mesh_model)
+        log.info(f"mesh: {dict(mesh.shape)} over {len(jax.devices())} devices")
+
     metric_sink = _wandb_sink(config, log)
     trainer = Trainer(config, model, train_set, test_set, log=log,
-                      metric_sink=metric_sink)
+                      metric_sink=metric_sink, mesh=mesh)
     trainer.fit(params, state, epoch_start=epoch_start, min_mpjpe=min_mpjpe)
     return 0
 

@@ -183,24 +183,46 @@ class Trainer:
     with the reference's logging keys (SURVEY.md §5.5)."""
 
     def __init__(self, config: Config, model, train_set: ClipSet,
-                 test_set: ClipSet, log=None, metric_sink=None):
+                 test_set: ClipSet, log=None, metric_sink=None, mesh=None):
         self.config = config
         self.model = model
         self.log = log or get_logger(config.logger_dir_path, config.logger_file_name)
         self.metric_sink = metric_sink  # callable(dict, step) — wandb-shaped
-        self.train_arrays = device_put_clipset(train_set)
+        self.mesh = mesh
+        self.batch_sharding = None
+        self.replicated = None
+        if mesh is not None:
+            from kasportsformer_tpu import parallel
+
+            self.batch_sharding = parallel.batch_sharding(mesh)
+            self.replicated = parallel.replicated(mesh)
+            if config.batch_size % mesh.shape[parallel.DATA_AXIS]:
+                raise ValueError(
+                    f"batch_size {config.batch_size} not divisible by the "
+                    f"data axis ({mesh.shape[parallel.DATA_AXIS]})")
+        self.train_arrays = device_put_clipset(train_set,
+                                               sharding=self.replicated)
         self.n_train = len(train_set)
         self.optimizer = make_optimizer(config)
         self.train_step = make_train_step(model, config, self.optimizer)
         eval_bs = config.eval_batch_size or config.batch_size
         self.evaluator = Evaluator(
             model, test_set, batch_size=eval_bs, flip=config.flip,
-            input_channel_number=config.input_channel_number)
+            input_channel_number=config.input_channel_number,
+            batch_sharding=self.batch_sharding)
         self.rng = np.random.default_rng(config.seed)
+
+    def _shard_batch(self, arr: jnp.ndarray) -> jnp.ndarray:
+        if self.batch_sharding is None:
+            return arr
+        return jax.device_put(arr, self.batch_sharding)
 
     def fit(self, params, state, epochs: int | None = None,
             epoch_start: int = 0, min_mpjpe: float = math.inf):
         config = self.config
+        if self.replicated is not None:
+            params = jax.device_put(params, self.replicated)
+            state = jax.device_put(state, self.replicated)
         opt_state = self.optimizer.init(params)
         scheduler = ReduceLROnPlateau(factor=config.learning_rate_decay, patience=2)
         lr = config.learning_rate
@@ -225,8 +247,9 @@ class Trainer:
                 step_key = jax.random.fold_in(epoch_key, s)
                 params, state, opt_state, comps = self.train_step(
                     params, state, opt_state,
-                    self.train_arrays, jnp.asarray(plan.indices[s]),
-                    jnp.asarray(plan.weights[s]), step_key)
+                    self.train_arrays,
+                    self._shard_batch(jnp.asarray(plan.indices[s])),
+                    self._shard_batch(jnp.asarray(plan.weights[s])), step_key)
                 n_real = int(plan.weights[s].sum())
                 for k, meter in meters.items():
                     meter.update(float(comps[k]), n_real)

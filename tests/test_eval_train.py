@@ -159,6 +159,31 @@ def test_lr_schedule_semantics():
     assert lr == pytest.approx(0.9)
 
 
+def test_trainer_fit_on_mesh():
+    """Trainer end-to-end on the 8-device CPU mesh: two epochs, sharded
+    batches, checkpoints written."""
+    import tempfile
+
+    from kasportsformer_tpu import parallel
+    from kasportsformer_tpu.train.loop import Trainer
+
+    with tempfile.TemporaryDirectory() as tmp:
+        config = Config(batch_size=8, epochs=2, learning_rate=1e-3,
+                        warmup=False, training_epoch_patience=5,
+                        new_checkpoint_dir=tmp, new_checkpoint_name="m",
+                        logger_dir_path="")
+        model = _tiny_model()
+        params, state = model.init(jax.random.key(0))
+        train_set, test_set = _clipsets()
+        mesh = parallel.make_mesh(data=8, model=1)
+        trainer = Trainer(config, model, train_set, test_set, mesh=mesh,
+                          log=logging.getLogger("t"))
+        params, state, summary = trainer.fit(params, state)
+        assert math.isfinite(summary["min_mpjpe"])
+        assert os.path.isdir(os.path.join(tmp, "m_latest"))
+        assert os.path.isdir(os.path.join(tmp, "m_best"))
+
+
 def test_train_step_data_parallel_matches_single_device():
     from jax.sharding import NamedSharding, PartitionSpec as P
 
