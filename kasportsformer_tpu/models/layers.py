@@ -402,7 +402,14 @@ def former_module(p: Params, state: Params, x: jnp.ndarray, mixer_type: str,
                   neighbour_num: int = 4,
                   use_layer_scale: bool = True) -> tuple[jnp.ndarray, Params]:
     """x + LS1*mixer(LN(x)[, LN_limb(x_limb)]); x + LS2*MLP(LN(x))
-    (≙ `model/KASportsFormer.py:103-118`; drop_path=0 in all configs)."""
+    (≙ `model/KASportsFormer.py:103-118`; drop_path=0 in all configs).
+
+    The attention CORE dispatches to a Pallas kernel on TPU (see
+    `_sdpa_tokens`); the surrounding linears/LN/MLP stay in XLA on purpose —
+    a fully-fused per-element module kernel exists (ops/former_module.py)
+    but measured SLOWER (4.0 vs 3.3 ms/module at batch 256): XLA batches the
+    qkv/proj/MLP matmuls across the whole batch at high MXU utilization,
+    which per-element fusion gives up."""
     new_state = state
     h = layer_norm(p["norm1"], x)
     if mixer_type == "attention":

@@ -57,3 +57,27 @@ def test_masked_sdpa_pallas_block_sizes():
                                         jnp.asarray(q), 0.5, 4,
                                         block_b=2, interpret=True))
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_fused_former_module_interpret_matches_unfused():
+    from kasportsformer_tpu.models import layers as L
+    from kasportsformer_tpu.ops.former_module import fused_former_module
+
+    key = jax.random.key(0)
+    c, h = 64, 4
+    p, _ = L.former_module_init(key, c, 4.0, "attention", "spatial", h,
+                                False, 1e-5, 27)
+    x = jnp.asarray(RNG.standard_normal((2, 5, 17, c)).astype(np.float32))
+
+    ref = L.layer_norm(p["norm1"], x)
+    ref = x + p["ls1"] * L.attention(p["mixer"], ref, h, "spatial")
+    ref = ref + p["ls2"] * L.mlp(p["mlp"], L.layer_norm(p["norm2"], ref))
+
+    wq = p["mixer"]["qkv"]["w"][:, :c]
+    wkv = p["mixer"]["qkv"]["w"][:, c:]
+    got = fused_former_module(
+        x, x, p["norm1"], p["norm1"], wq, wkv, p["mixer"]["proj"],
+        p["norm2"], p["mlp"], p["ls1"], p["ls2"], (c // h) ** -0.5, h,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
