@@ -54,6 +54,37 @@ def main() -> int:
                   file=sys.stderr)
             break
 
+    # secondary: fused train-step throughput (fwd+bwd+AdamW), reported to
+    # stderr only — the driver's one JSON line stays the inference metric
+    try:
+        from kasportsformer_tpu.config import Config
+        from kasportsformer_tpu.train.loop import make_optimizer, make_train_step
+
+        config = Config(batch_size=256, flip=True, compute_dtype="bfloat16")
+        optimizer = make_optimizer(config)
+        opt_state = optimizer.init(params)
+        step = make_train_step(model, config, optimizer)
+        arrays = {
+            "inputs": jnp.asarray(rng.standard_normal((1024, 27, 17, 3)), jnp.float32),
+            "labels": jnp.asarray(rng.standard_normal((1024, 27, 17, 3)), jnp.float32),
+        }
+        idx = jnp.arange(256, dtype=jnp.int32)
+        w = jnp.ones(256, jnp.float32)
+        out = step(params, state, opt_state, arrays, idx, w, jax.random.key(0))
+        float(out[3]["loss_total"])  # sync
+        times = []
+        for i in range(5):
+            t0 = time.perf_counter()
+            out = step(params, state, opt_state, arrays, idx, w,
+                       jax.random.key(i))
+            float(out[3]["loss_total"])
+            times.append(time.perf_counter() - t0)
+        print(f"train step (batch 256): {256 / min(times):,.0f} clips/s "
+              f"({min(times) * 1e3:.1f} ms/step)", file=sys.stderr)
+    except Exception as e:
+        print(f"train-step bench skipped: {type(e).__name__}: {e}",
+              file=sys.stderr)
+
     print(json.dumps({
         "metric": "27-frame clips/sec/chip (lift inference, KASportsFormer 29.4M, bf16)",
         "value": round(best, 2),

@@ -279,6 +279,11 @@ class KASportsFormer:
         is_first = jnp.arange(cfg.n_layers) == 0
         adj = self.spatial_norm_adj
 
+        # remat the layer body: without it the scan saves every layer's
+        # activations for backward (26 x (B,27,17,512) MLP temps = ~9 GB at
+        # batch 256), blowing HBM; recomputing them per layer is ~1/3 extra
+        # forward FLOPs for ~26x less live memory.
+        @jax.checkpoint
         def body(carry, step):
             layer_params, layer_state, first = step
             bone_in = jnp.where(first, x_bone, carry)

@@ -126,11 +126,31 @@ def masked_sdpa_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         (((nb + 1,), (nb,)), (bdims, bdims)))
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def masked_sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
                 num_heads: int) -> jnp.ndarray:
     """Dispatch: Pallas kernel on TPU for 4-D (B,G,N,C) inputs, jnp
-    otherwise. Channels must split evenly across heads."""
+    otherwise. Channels must split evenly across heads.
+
+    Differentiable: pallas_call has no autodiff rule, so the custom VJP
+    recomputes the forward through the XLA formulation in the backward pass
+    (flash-attention-style rematerialization — residuals are just q, k, v).
+    """
     if (jax.default_backend() == "tpu" and q.ndim == 4
             and q.shape[-1] % num_heads == 0):
         return masked_sdpa_pallas(q, k, v, scale, num_heads)
     return masked_sdpa_xla(q, k, v, scale, num_heads)
+
+
+def _masked_sdpa_fwd(q, k, v, scale, num_heads):
+    return masked_sdpa(q, k, v, scale, num_heads), (q, k, v)
+
+
+def _masked_sdpa_bwd(scale, num_heads, residuals, g):
+    q, k, v = residuals
+    _, vjp = jax.vjp(
+        lambda a, b, c: masked_sdpa_xla(a, b, c, scale, num_heads), q, k, v)
+    return vjp(g)
+
+
+masked_sdpa.defvjp(_masked_sdpa_fwd, _masked_sdpa_bwd)

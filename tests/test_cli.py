@@ -89,6 +89,40 @@ def test_preprocess_train_evaluate(workspace):
     assert len(list((ws / "vis" / "clips").glob("*.pkl"))) > 0
 
 
+def test_worldpose_preprocess_and_evaluate(tmp_path):
+    """WP flavor end-to-end: keep-tails splitting, no envtags, native store."""
+    ws = tmp_path
+    src = make_source("worldpose", train_video_lens=(40, 36),
+                      test_video_lens=(27, 40))
+    with open(ws / "wp.pkl", "wb") as f:
+        pickle.dump(src, f)
+    _run(["preprocess", "--source-file", "wp.pkl", "--dataset", "worldpose",
+          "--data-type", "gt", "--output-root", "clips", "--format", "native"],
+         cwd=ws)
+    assert (ws / "clips" / "WPgt-27" / "test.ksf").exists()
+
+    config = {
+        "seed": 1, "epochs": 1, "learning_rate": 1e-3, "batch_size": 4,
+        "warmup": False, "training_epoch_patience": 5, "use_wandb": False,
+        "flip": True, "logger_dir_path": str(ws / "log"),
+        "logger_file_name": "wp.log", "data_root": "clips",
+        "clip_set_name": "WPgt-27", "dataset": "worldpose",
+        "input_channel_number": 3, "num_joints": 17, "n_frames": 27,
+        "model_name": "KASportsFormer", "n_layers": 2, "dim_feat": 32,
+        "dim_rep": 64, "num_heads": 4,
+        "new_checkpoint_dir": str(ws / "ckpt"), "new_checkpoint_name": "wp",
+        "evaluate_checkpoint_file_dir": str(ws / "ckpt"),
+        "evaluate_checkpoint_file": "wp_best",
+    }
+    with open(ws / "wp.yaml", "w") as f:
+        yaml.safe_dump(config, f)
+    _run(["train", "--config-path", "wp.yaml"], cwd=ws)
+    proc = _run(["evaluate", "--config-path", "wp.yaml",
+                 "--checkpoint", str(ws / "ckpt" / "wp_best")], cwd=ws)
+    result = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert np.isfinite(result["mpjpe"])
+
+
 def test_reference_yaml_configs_load():
     from kasportsformer_tpu.config import load_config
 
