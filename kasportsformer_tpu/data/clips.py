@@ -23,7 +23,6 @@ from __future__ import annotations
 import dataclasses
 import os
 import pickle
-from typing import Iterator
 
 import numpy as np
 

@@ -23,7 +23,7 @@ from __future__ import annotations
 import math
 import os
 import time
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
@@ -133,6 +133,12 @@ class ReduceLROnPlateau:
     def load_state_dict(self, sd: dict) -> None:
         self.best = sd["best"]
         self.num_bad_epochs = sd["num_bad_epochs"]
+
+
+def decay_learning_rate_exponentially(lr: float, decay: float) -> float:
+    """Exponential LR decay helper (≙ `utils/utilities.py:121-125`; the
+    reference ships it unused — the main loop uses ReduceLROnPlateau)."""
+    return lr * decay
 
 
 def warmup_lr(config: Config, epoch: int) -> float | None:
