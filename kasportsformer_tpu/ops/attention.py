@@ -106,6 +106,109 @@ def masked_sdpa_pallas(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     )(q, k, v, mask_k, mask_v, seg)
 
 
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, mask_k_ref, mask_v_ref,
+                     seg_ref, rep_ref, dq_ref, dk_ref, dv_ref, *,
+                     scale: float, num_heads: int):
+    """Backward of the masked attention, same VMEM expansions as forward.
+
+    With P the per-head probs, the gradients in expanded (H*N) coordinates:
+      dV~ = P^T g            -> dv = E (dV~ ⊙ mask_v)
+      dP  = g V~^T
+      dL  = P ⊙ (dP - (P ⊙ dP) SEG) * scale
+      dq  = dL K~            (K~ = head-tiled masked keys, (H*N, C) layout)
+      dK~ = dL^T q           -> dk = E (dK~ ⊙ mask_v)
+    where E (N, H*N) is the identity tiled across heads (a segment-collapse
+    matmul) and SEG the block-diagonal ones used by the forward softmax.
+    """
+    blk, g0, n0, c0 = q_ref.shape
+    q = q_ref[...].reshape(blk * g0, n0, c0)
+    k = k_ref[...].reshape(blk * g0, n0, c0)
+    v = v_ref[...].reshape(blk * g0, n0, c0)
+    g = g_ref[...].reshape(blk * g0, n0, c0)
+    h = num_heads
+    f32 = jnp.float32
+
+    # recompute probs (as in forward)
+    kt = jnp.swapaxes(k, 1, 2)
+    km = jnp.concatenate([kt] * h, axis=-1) * mask_k_ref[...][None]
+    logits = jax.lax.dot_general(
+        q, km, (((2,), (1,)), ((0,), (0,))), preferred_element_type=f32) * scale
+    rowmax = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - rowmax)
+    denom = jax.lax.dot_general(e, seg_ref[...], (((2,), (0,)), ((), ())),
+                                preferred_element_type=f32)
+    probs = e / denom  # (G, N, H*N) f32
+
+    vm = jnp.concatenate([v] * h, axis=1) * mask_v_ref[...][None]  # (G,H*N,C)
+
+    # dv = E (P^T g ⊙ mask_v)
+    dvm = jax.lax.dot_general(
+        jnp.swapaxes(probs, 1, 2).astype(q.dtype), g,
+        (((2,), (1,)), ((0,), (0,))), preferred_element_type=f32)  # (G,H*N,C)
+    dvm = dvm * mask_v_ref[...].astype(f32)[None]
+    dv = jax.lax.dot_general(rep_ref[...].astype(f32), dvm,
+                             (((1,), (1,)), ((), ())),
+                             preferred_element_type=f32)  # (N, G, C) -> fix
+    dv = jnp.swapaxes(dv, 0, 1)  # (G, N, C)
+
+    # dP = g V~^T ; dL = P (dP - (P⊙dP) SEG) * scale
+    dprobs = jax.lax.dot_general(
+        g, jnp.swapaxes(vm, 1, 2), (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=f32)  # (G, N, H*N)
+    pd = probs * dprobs
+    correction = jax.lax.dot_general(pd, seg_ref[...], (((2,), (0,)), ((), ())),
+                                     preferred_element_type=f32)
+    dlogits = (probs * (dprobs - correction) * scale).astype(q.dtype)
+
+    # dq = dL K~  with K~ = head-tiled masked keys in (H*N, C) layout
+    ke = jnp.concatenate([k] * h, axis=1) * mask_v_ref[...][None]  # (G,H*N,C)
+    dq = jax.lax.dot_general(dlogits, ke, (((2,), (1,)), ((0,), (0,))),
+                             preferred_element_type=f32)
+
+    # dk = E (dL^T q ⊙ mask_v)
+    dkm = jax.lax.dot_general(
+        jnp.swapaxes(dlogits, 1, 2), q, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=f32)  # (G, H*N, C)
+    dkm = dkm * mask_v_ref[...].astype(f32)[None]
+    dk = jax.lax.dot_general(rep_ref[...].astype(f32), dkm,
+                             (((1,), (1,)), ((), ())),
+                             preferred_element_type=f32)
+    dk = jnp.swapaxes(dk, 0, 1)
+
+    dq_ref[...] = dq.astype(dq_ref.dtype).reshape(blk, g0, n0, c0)
+    dk_ref[...] = dk.astype(dk_ref.dtype).reshape(blk, g0, n0, c0)
+    dv_ref[...] = dv.astype(dv_ref.dtype).reshape(blk, g0, n0, c0)
+
+
+def masked_sdpa_bwd_pallas(q, k, v, g, scale: float, num_heads: int,
+                           interpret: bool = False):
+    b, g0, n, c = q.shape
+    h = num_heads
+    spec = pl.BlockSpec((1, g0, n, c), lambda i: (i, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+    mask = _head_mask(c, h)
+    mask_k = jnp.asarray(np.repeat(mask, n, axis=1), q.dtype)
+    mask_v = jnp.asarray(np.repeat(mask, n, axis=1).T, q.dtype)
+    seg = jnp.asarray(np.kron(np.eye(h, dtype=np.float32),
+                              np.ones((n, n), np.float32)))
+    rep = jnp.asarray(np.tile(np.eye(n, dtype=np.float32), (1, h)))  # (N, H*N)
+
+    def cspec(arr):
+        return pl.BlockSpec(arr.shape, lambda i: tuple(0 for _ in arr.shape),
+                            memory_space=pltpu.VMEM)
+
+    out_shape = [jax.ShapeDtypeStruct(q.shape, q.dtype)] * 3
+    return pl.pallas_call(
+        functools.partial(_attn_bwd_kernel, scale=scale, num_heads=num_heads),
+        grid=(b,),
+        in_specs=[spec, spec, spec, spec, cspec(mask_k), cspec(mask_v),
+                  cspec(seg), cspec(rep)],
+        out_specs=[spec, spec, spec],
+        out_shape=out_shape,
+        interpret=interpret,
+    )(q, k, v, g, mask_k, mask_v, seg, rep)
+
+
 def masked_sdpa_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     scale: float, num_heads: int) -> jnp.ndarray:
     """jnp fallback with identical numerics (HBM-bound on TPU)."""
@@ -148,6 +251,9 @@ def _masked_sdpa_fwd(q, k, v, scale, num_heads):
 
 def _masked_sdpa_bwd(scale, num_heads, residuals, g):
     q, k, v = residuals
+    if (jax.default_backend() == "tpu" and q.ndim == 4
+            and q.shape[-1] % num_heads == 0):
+        return masked_sdpa_bwd_pallas(q, k, v, g, scale, num_heads)
     _, vjp = jax.vjp(
         lambda a, b, c: masked_sdpa_xla(a, b, c, scale, num_heads), q, k, v)
     return vjp(g)

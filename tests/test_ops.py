@@ -81,3 +81,32 @@ def test_fused_former_module_interpret_matches_unfused():
         interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-5, rtol=1e-4)
+
+
+def test_masked_sdpa_bwd_pallas_matches_autodiff():
+    from kasportsformer_tpu.ops.attention import masked_sdpa_bwd_pallas
+
+    q = jnp.asarray(RNG.standard_normal((2, 5, 17, 64)).astype(np.float32))
+    k = jnp.asarray(RNG.standard_normal((2, 5, 17, 64)).astype(np.float32))
+    v = jnp.asarray(RNG.standard_normal((2, 5, 17, 64)).astype(np.float32))
+    g = jnp.asarray(RNG.standard_normal((2, 5, 17, 64)).astype(np.float32))
+    _, vjp = jax.vjp(lambda a, b, c: masked_sdpa_xla(a, b, c, 0.25, 4),
+                     q, k, v)
+    want = vjp(g)
+    got = masked_sdpa_bwd_pallas(q, k, v, g, 0.25, 4, interpret=True)
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-4)
+
+
+def test_masked_sdpa_is_differentiable():
+    from kasportsformer_tpu.ops.attention import masked_sdpa
+
+    q = jnp.asarray(RNG.standard_normal((2, 3, 9, 32)).astype(np.float32))
+
+    def loss(q):
+        return jnp.sum(masked_sdpa(q, q, q, 0.5, 4) ** 2)
+
+    grad = jax.grad(loss)(q)
+    assert grad.shape == q.shape
+    assert np.isfinite(np.asarray(grad)).all()
