@@ -21,7 +21,7 @@ import time
 import numpy as np
 
 
-def _jax():
+def _jax(config=None):
     import jax
 
     # KASF_PLATFORM overrides the JAX platform even when a sitecustomize has
@@ -30,6 +30,9 @@ def _jax():
     platform = os.environ.get("KASF_PLATFORM")
     if platform:
         jax.config.update("jax_platforms", platform)
+    if config is not None and config.matmul_precision:
+        jax.config.update("jax_default_matmul_precision",
+                          config.matmul_precision)
     return jax
 
 
@@ -44,6 +47,7 @@ def cmd_train(args: argparse.Namespace) -> int:
     config = load_config(args.config_path)
     if config.eval_only:
         return cmd_evaluate(args)
+    _jax(config)
     seed_everything(config.seed)
     log = get_logger(config.logger_dir_path, config.logger_file_name)
 
@@ -124,6 +128,7 @@ def cmd_evaluate(args: argparse.Namespace) -> int:
     from kasportsformer_tpu.utils.common import get_logger, seed_everything
 
     config = load_config(args.config_path)
+    _jax(config)
     seed_everything(config.seed)
     log = get_logger(config.logger_dir_path,
                      f"{config.config_name}_evaluate.log")

@@ -144,6 +144,10 @@ class Config:
 
     # --- TPU-native extensions (absent from the reference schema) ---
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16' for activations
+    matmul_precision: str = ""  # ''|'default'|'high'|'highest'; 'highest'
+    #   forces true-f32 matmuls on TPU (else f32 uses bf16x3 passes, ~1e-2
+    #   absolute deviation on attention outputs) — set for strict CPU/torch
+    #   parity checks on TPU
     mesh_data: int = -1  # data-parallel axis size; -1 = all devices
     mesh_model: int = 1  # tensor-parallel axis size
     use_pallas: bool = True  # use Pallas kernels where available (TPU only)

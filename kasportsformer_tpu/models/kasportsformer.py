@@ -22,6 +22,7 @@ Parameter count with the public config equals the reference's 29,365,668.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Any
 
@@ -281,9 +282,12 @@ class KASportsFormer:
 
         # remat the layer body: without it the scan saves every layer's
         # activations for backward (26 x (B,27,17,512) MLP temps = ~9 GB at
-        # batch 256), blowing HBM; recomputing them per layer is ~1/3 extra
-        # forward FLOPs for ~26x less live memory.
-        @jax.checkpoint
+        # batch 256), blowing HBM. The policy keeps the attention-core
+        # outputs (the expensive recompute; ~3 GB at batch 256) and replays
+        # only the cheap linears/norms.
+        @functools.partial(
+            jax.checkpoint,
+            policy=jax.checkpoint_policies.save_only_these_names("attn_core"))
         def body(carry, step):
             layer_params, layer_state, first = step
             bone_in = jnp.where(first, x_bone, carry)

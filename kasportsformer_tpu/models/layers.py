@@ -135,7 +135,12 @@ def _sdpa_tokens(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
     """
     from kasportsformer_tpu.ops.attention import masked_sdpa
 
-    return masked_sdpa(q, k, v, scale, num_heads)
+    from jax.ad_checkpoint import checkpoint_name
+
+    out = masked_sdpa(q, k, v, scale, num_heads)
+    # named for remat policies: the trunk saves attention-core outputs so the
+    # backward replays only the cheap linears/norms (see kasportsformer.py)
+    return checkpoint_name(out, "attn_core")
 
 
 def _sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
