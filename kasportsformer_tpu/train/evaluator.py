@@ -15,7 +15,6 @@ order. The action-balanced means are order-invariant, so results match.
 
 from __future__ import annotations
 
-from collections import defaultdict
 from typing import Any
 
 import jax
@@ -106,38 +105,36 @@ class Evaluator:
 
     def run(self, params, state) -> dict[str, Any]:
         """Full evaluation; returns the reference's result dict
-        (`train_and_evaluate_sp.py:129-136`) plus upper/lower-body means."""
-        per_action = defaultdict(list)
-        per_action_p = defaultdict(list)
-        per_action_acc = defaultdict(list)
-        per_action_joint = [defaultdict(list) for _ in range(NUM_JOINTS)]
+        (`train_and_evaluate_sp.py:129-136`) plus upper/lower-body means.
 
+        Per-clip metric arrays stream back from the device; the string-keyed
+        per-action grouping is one vectorized numpy pass (the reference
+        extends Python lists clip by clip, `:85-103`)."""
+        chunks = {"mpjpe": [], "jpe": [], "acc_err": [], "p_mpjpe": []}
         for s in range(self.plan.steps):
             idx = jnp.asarray(self.plan.indices[s])
             if self.batch_sharding is not None:
                 idx = jax.device_put(idx, self.batch_sharding)
             out = self.step(params, state, self.arrays, idx)
-            out = jax.tree.map(np.asarray, out)
-            w = self.plan.weights[s]
-            for b in range(len(idx)):
-                if w[b] == 0:
-                    continue
-                action = str(self.actions[self.plan.indices[s][b]])
-                per_action[action].extend(out["mpjpe"][b])
-                per_action_p[action].extend(out["p_mpjpe"][b])
-                per_action_acc[action].extend(out["acc_err"][b])
-                for j in range(NUM_JOINTS):
-                    per_action_joint[j][action].extend(out["jpe"][b, :, j])
+            keep = self.plan.weights[s] > 0
+            for key in chunks:
+                chunks[key].append(np.asarray(out[key])[keep])
+        metrics = {key: np.concatenate(vals) for key, vals in chunks.items()}
+        # plan indices are sequential over real clips (padding masked off)
+        clip_actions = self.actions
 
         # Action-balanced reduction: mean per action, then mean over actions
-        # (`train_and_evaluate_sp.py:105-127`).
-        action_names = list(per_action.keys())
-        mpjpe_per_action = [float(np.mean(per_action[a])) for a in action_names]
-        p_mpjpe_per_action = [float(np.mean(per_action_p[a])) for a in action_names]
-        acc_per_action = [float(np.mean(per_action_acc[a])) for a in action_names]
-        joint_per_action = np.array(
-            [[float(np.mean(per_action_joint[j][a])) for a in action_names]
-             for j in range(NUM_JOINTS)])
+        # (`train_and_evaluate_sp.py:105-127`). Order follows first
+        # appearance (the reference iterates a set; means are order-free).
+        action_names = list(dict.fromkeys(str(a) for a in clip_actions))
+        mpjpe_per_action, p_mpjpe_per_action, acc_per_action = [], [], []
+        joint_per_action = np.zeros((NUM_JOINTS, len(action_names)))
+        for ai, name in enumerate(action_names):
+            mask = np.asarray([str(a) == name for a in clip_actions])
+            mpjpe_per_action.append(float(metrics["mpjpe"][mask].mean()))
+            p_mpjpe_per_action.append(float(metrics["p_mpjpe"][mask].mean()))
+            acc_per_action.append(float(metrics["acc_err"][mask].mean()))
+            joint_per_action[:, ai] = metrics["jpe"][mask].mean(axis=(0, 1))
         mpjpe_per_joint = joint_per_action.mean(axis=1)
 
         return {
