@@ -70,14 +70,17 @@ def main() -> int:
         }
         idx = jnp.arange(256, dtype=jnp.int32)
         w = jnp.ones(256, jnp.float32)
-        out = step(params, state, opt_state, arrays, idx, w, jax.random.key(0))
-        float(out[3]["loss_total"])  # sync
+        # thread the donated pytrees through (the step donates its inputs)
+        params_t, state_t, opt_state_t, comps = step(
+            params, state, opt_state, arrays, idx, w, jax.random.key(0))
+        float(comps["loss_total"])  # sync
         times = []
         for i in range(5):
             t0 = time.perf_counter()
-            out = step(params, state, opt_state, arrays, idx, w,
-                       jax.random.key(i))
-            float(out[3]["loss_total"])
+            params_t, state_t, opt_state_t, comps = step(
+                params_t, state_t, opt_state_t, arrays, idx, w,
+                jax.random.key(i))
+            float(comps["loss_total"])
             times.append(time.perf_counter() - t0)
         print(f"train step (batch 256): {256 / min(times):,.0f} clips/s "
               f"({min(times) * 1e3:.1f} ms/step)", file=sys.stderr)

@@ -239,10 +239,38 @@ def masked_sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
     recomputes the forward through the XLA formulation in the backward pass
     (flash-attention-style rematerialization — residuals are just q, k, v).
     """
-    if (jax.default_backend() == "tpu" and q.ndim == 4
-            and q.shape[-1] % num_heads == 0):
-        return masked_sdpa_pallas(q, k, v, scale, num_heads)
+    if jax.default_backend() == "tpu" and q.shape[-1] % num_heads == 0:
+        if q.ndim == 4:
+            return masked_sdpa_pallas(q, k, v, scale, num_heads)
+        if q.ndim == 3:
+            # flat (M, N, C) token streams (MixSTE/DSTFormer family): group
+            # M into (M/g, g) so each grid step amortizes over g sequences
+            m = q.shape[0]
+            g = _group_size(m, _vmem_group_target(
+                q.shape[-1], q.shape[-2], num_heads, q.dtype.itemsize))
+            if g > 1:
+                shape = (m // g, g) + q.shape[1:]
+                out = masked_sdpa_pallas(q.reshape(shape), k.reshape(shape),
+                                         v.reshape(shape), scale, num_heads)
+                return out.reshape(q.shape)
     return masked_sdpa_xla(q, k, v, scale, num_heads)
+
+
+def _group_size(m: int, target: int = 32) -> int:
+    for g in range(min(target, m), 0, -1):
+        if m % g == 0:
+            return g
+    return 1
+
+
+def _vmem_group_target(c: int, n: int, num_heads: int, itemsize: int,
+                       budget_bytes: int = 3 * 1024 * 1024) -> int:
+    """Largest per-step group keeping the kernel's VMEM residents (km + vm
+    expansions, f32 logits + per-head sums) within budget."""
+    per_seq = (2 * itemsize * c * num_heads * n        # km + vm expansions
+               + 2 * 4 * n * num_heads * n             # f32 logits + denom
+               + 4 * itemsize * c * n)                 # q/k/v/out blocks
+    return max(1, min(32, budget_bytes // per_seq))
 
 
 def _masked_sdpa_fwd(q, k, v, scale, num_heads):
@@ -251,9 +279,18 @@ def _masked_sdpa_fwd(q, k, v, scale, num_heads):
 
 def _masked_sdpa_bwd(scale, num_heads, residuals, g):
     q, k, v = residuals
-    if (jax.default_backend() == "tpu" and q.ndim == 4
-            and q.shape[-1] % num_heads == 0):
-        return masked_sdpa_bwd_pallas(q, k, v, g, scale, num_heads)
+    if jax.default_backend() == "tpu" and q.shape[-1] % num_heads == 0:
+        if q.ndim == 4:
+            return masked_sdpa_bwd_pallas(q, k, v, g, scale, num_heads)
+        if q.ndim == 3:
+            gs = _group_size(q.shape[0], _vmem_group_target(
+                q.shape[-1], q.shape[-2], num_heads, q.dtype.itemsize))
+            if gs > 1:
+                shape = (q.shape[0] // gs, gs) + q.shape[1:]
+                grads = masked_sdpa_bwd_pallas(
+                    q.reshape(shape), k.reshape(shape), v.reshape(shape),
+                    g.reshape(shape), scale, num_heads)
+                return tuple(x.reshape(q.shape) for x in grads)
     _, vjp = jax.vjp(
         lambda a, b, c: masked_sdpa_xla(a, b, c, scale, num_heads), q, k, v)
     return vjp(g)

@@ -20,6 +20,7 @@ compiled XLA program per step plus a thin host loop:
 
 from __future__ import annotations
 
+import functools
 import math
 import os
 import time
@@ -166,7 +167,10 @@ def make_train_step(model, config: Config, optimizer: optax.GradientTransformati
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-    @jax.jit
+    # params/state/opt_state are donated: the update happens in place on
+    # device (halves the optimizer-state memory traffic; callers must thread
+    # the returned pytrees, as the Trainer does). No-op on CPU.
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def step(params, state, opt_state, arrays, idx, weights, key):
         x = take_batch(arrays["inputs"], idx)
         y = take_batch(arrays["labels"], idx)
