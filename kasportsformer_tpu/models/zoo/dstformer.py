@@ -55,19 +55,19 @@ class DSTFormerConfig:
 def _attn_temporal(p: Params, x: jnp.ndarray, seqlen: int, num_heads: int,
                    qk_scale: float | None) -> jnp.ndarray:
     """Temporal MHSA on (B*F, J, C) tokens: attend over F per joint
-    (`DSTFormer.py:189-201`)."""
+    (`DSTFormer.py:189-201`), through the shared masked-contraction core
+    (Pallas on TPU)."""
     bf, j, c = x.shape
     b = bf // seqlen
-    d = c // num_heads
-    scale = qk_scale or d**-0.5
-    qkv = L.linear(p["qkv"], x).reshape(b, seqlen, j, 3, num_heads, d)
-    qkv = qkv.transpose(3, 0, 4, 2, 1, 5)  # (3, B, H, J, F, D)
-    q, k, v = qkv[0], qkv[1], qkv[2]
-    logits = jax.lax.dot_general(
-        q, k, (((4,), (4,)), ((0, 1, 2), (0, 1, 2)))) * scale
-    probs = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(x.dtype)
-    out = jax.lax.dot_general(probs, v, (((4,), (3,)), ((0, 1, 2), (0, 1, 2))))
-    out = out.transpose(0, 3, 2, 1, 4).reshape(bf, j, c)  # (B,F,J,H,D) -> ..
+    scale = qk_scale or (c // num_heads) ** -0.5
+    qkv = L.linear(p["qkv"], x)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def grouped(z):  # (B*F, J, C) -> (B, J, F, C)
+        return z.reshape(b, seqlen, j, c).transpose(0, 2, 1, 3)
+
+    out = L._sdpa_tokens(grouped(q), grouped(k), grouped(v), scale, num_heads)
+    out = out.transpose(0, 2, 1, 3).reshape(bf, j, c)
     return L.linear(p["proj"], out)
 
 

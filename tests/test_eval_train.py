@@ -203,16 +203,22 @@ def test_train_step_data_parallel_matches_single_device():
     w = jnp.ones(8, jnp.float32)
     key = jax.random.key(42)
 
+    # the step donates params/state/opt_state -> each call gets fresh copies
+    def copies():
+        return (jax.tree.map(jnp.array, params), jax.tree.map(jnp.array, state))
+
     # single device
-    p1, s1, o1, c1 = step(params, state, optimizer.init(params), arrays, idx, w, key)
+    p_in, s_in = copies()
+    p1, s1, o1, c1 = step(p_in, s_in, optimizer.init(p_in), arrays, idx, w, key)
 
     # 8-device data-parallel mesh: batch index sharded, params replicated
     mesh = parallel.make_mesh(data=8, model=1)
     bsh = parallel.batch_sharding(mesh)
     rep = parallel.replicated(mesh)
-    params_r = jax.device_put(params, rep)
-    state_r = jax.device_put(state, rep)
-    arrays_r = {k: jax.device_put(v, rep) for k, v in arrays.items()}
+    p_in, s_in = copies()
+    params_r = jax.device_put(p_in, rep)
+    state_r = jax.device_put(s_in, rep)
+    arrays_r = {k: jax.device_put(jnp.array(v), rep) for k, v in arrays.items()}
     idx_s = jax.device_put(idx, bsh)
     w_s = jax.device_put(w, bsh)
     p8, s8, o8, c8 = step(params_r, state_r, optimizer.init(params_r),
