@@ -322,6 +322,32 @@ def cmd_profile(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_serve(args: argparse.Namespace) -> int:
+    """HTTP lifting service (fixed-batch jitted forward; see serving.py)."""
+    _jax()
+    from kasportsformer_tpu.config import load_config
+    from kasportsformer_tpu.models import build_model
+    from kasportsformer_tpu.serving import serve
+    from kasportsformer_tpu.train import checkpoint as ckpt
+
+    config = load_config(args.config_path)
+    _jax(config)
+    model = build_model(config)
+    if args.checkpoint.endswith(".pth"):
+        sd = ckpt.load_torch_checkpoint(args.checkpoint)
+        params, state = ckpt.torch_state_dict_to_params(sd, config.n_layers)
+    else:
+        payload = ckpt.restore_native(args.checkpoint)
+        params, state = payload["params"], payload["state"]
+    server = serve(model, params, state, host=args.host, port=args.port,
+                   n_frames=config.n_frames, batch_size=args.batch_size,
+                   flip=config.flip, model_name=config.model_name)
+    print(f"serving {config.model_name} on http://{args.host}:{args.port}",
+          file=sys.stderr)
+    server.serve_forever()
+    return 0
+
+
 def cmd_visualize(args: argparse.Namespace) -> int:
     """Offline qualitative comparison (≙ `utils/visualization.py`)."""
     jax = _jax()
@@ -415,6 +441,14 @@ def build_parser() -> argparse.ArgumentParser:
     p_prof.add_argument("--batch-size", type=int, default=128)
     p_prof.add_argument("--iters", type=int, default=5)
     p_prof.set_defaults(fn=cmd_profile)
+
+    p_serve = sub.add_parser("serve", help="HTTP lifting service")
+    p_serve.add_argument("--config-path", required=True)
+    p_serve.add_argument("--checkpoint", required=True)
+    p_serve.add_argument("--host", default="127.0.0.1")
+    p_serve.add_argument("--port", type=int, default=8000)
+    p_serve.add_argument("--batch-size", type=int, default=8)
+    p_serve.set_defaults(fn=cmd_serve)
 
     p_vis = sub.add_parser("visualize", help="prediction-vs-GT comparisons")
     p_vis.add_argument("--config-path", required=True)
