@@ -59,10 +59,18 @@ def cmd_train(args: argparse.Namespace) -> int:
     params, state = model.init(jax.random.key(config.seed))
     log.info(f"model {config.model_name}: {model.parameter_count(params):,} params")
 
-    epoch_start, min_mpjpe = 0, float("inf")
+    fit_kwargs = {}
     if config.checkpoint:
-        params, state, epoch_start, min_mpjpe = _load_train_checkpoint(
+        params, state, fit_kwargs, saved_run_id = _load_train_checkpoint(
             config, params, state, log)
+        if config.resume and saved_run_id and not config.wandb_run_id:
+            config = config.replace(wandb_run_id=saved_run_id)
+
+    if config.use_wandb and not config.wandb_run_id:
+        # generate once and pin it into the config so checkpoints persist it
+        import uuid
+
+        config = config.replace(wandb_run_id=uuid.uuid4().hex[:8])
 
     mesh = None
     if len(jax.devices()) > 1 and (config.mesh_data != 1 or config.mesh_model != 1):
@@ -74,31 +82,43 @@ def cmd_train(args: argparse.Namespace) -> int:
     metric_sink = _wandb_sink(config, log)
     trainer = Trainer(config, model, train_set, test_set, log=log,
                       metric_sink=metric_sink, mesh=mesh)
-    trainer.fit(params, state, epoch_start=epoch_start, min_mpjpe=min_mpjpe)
+    trainer.fit(params, state, **fit_kwargs)
     return 0
 
 
 def _load_train_checkpoint(config, params, state, log):
-    """Weights-only load (`checkpoint: true`) or full resume
-    (`resume: true`) — reference semantics (`train_and_evaluate_sp.py:285-301`)
-    with a consistent schema."""
+    """Weights-only load (`checkpoint: true`) or full resume (`resume: true`,
+    restoring optimizer state, LR, scheduler state and wandb run id — the
+    reference's intent at `train_and_evaluate_sp.py:285-301`, with a schema
+    whose saver and resumer actually agree). Returns
+    (params, state, fit_kwargs, saved_wandb_run_id)."""
     from kasportsformer_tpu.train import checkpoint as ckpt
+    from kasportsformer_tpu.train.loop import (
+        load_checkpoint_meta,
+        make_optimizer,
+        resume_kwargs,
+    )
 
-    epoch_start, min_mpjpe = 0, float("inf")
     path = os.path.join(config.checkpoint_dir, config.checkpoint_file_name)
     if path.endswith(".pth") and os.path.exists(path):
         sd = ckpt.load_torch_checkpoint(path)
         params, state = ckpt.torch_state_dict_to_params(sd, config.n_layers)
         log.info(f"torch checkpoint loaded ({path})")
-        return params, state, epoch_start, min_mpjpe
+        return params, state, {}, ""
     if os.path.isdir(path):
-        payload = ckpt.restore_native(path)
+        template = {
+            "params": params,
+            "state": state,
+            "opt_state": make_optimizer(config).init(params),
+        }
+        payload = ckpt.restore_native(path, template=template)
         params, state = payload["params"], payload["state"]
-        if config.resume:
-            epoch_start = int(payload["meta"]["epoch"])
-            min_mpjpe = float(payload["meta"]["min_mpjpe"])
+        meta = load_checkpoint_meta(path)
+        fit_kwargs = (resume_kwargs(meta, payload["opt_state"])
+                      if config.resume else {})
+        run_id = str(meta.get("wandb_run_id", "") or "")
         log.info(f"native checkpoint loaded ({path}), resume={config.resume}")
-        return params, state, epoch_start, min_mpjpe
+        return params, state, fit_kwargs, run_id
     raise FileNotFoundError(f"checkpoint path is wrong: {path}")
 
 
@@ -112,9 +132,11 @@ def _wandb_sink(config, log):
                     "the log file only")
         return None
     run_id = config.wandb_run_id or wandb.util.generate_id()
+    # 'must' only makes sense when resuming a run that actually exists
+    # (a freshly generated id with resume='must' makes wandb.init raise)
+    resume_mode = "must" if (config.resume and config.wandb_run_id) else None
     wandb.init(id=run_id, name=config.wandb_name,
-               project=config.wandb_project_name,
-               resume="must" if config.resume else None)
+               project=config.wandb_project_name, resume=resume_mode)
     return lambda payload, step: wandb.log(payload, step=step)
 
 
@@ -282,19 +304,27 @@ def cmd_export(args: argparse.Namespace) -> int:
     import torch
 
     from kasportsformer_tpu.train import checkpoint as ckpt
+    from kasportsformer_tpu.train.loop import load_checkpoint_meta
 
     payload = ckpt.restore_native(args.checkpoint)
+    meta = load_checkpoint_meta(_native_dir(args.checkpoint))
     sd = ckpt.params_to_torch_state_dict(payload["params"], payload["state"],
                                          module_prefix=True)
-    torch.save({"epoch": int(payload["meta"]["epoch"]),
-                "learning_rate": float(payload["meta"]["learning_rate"]),
+    torch.save({"epoch": int(meta["epoch"]),
+                "learning_rate": float(meta["learning_rate"]),
                 "optimizer": {},
                 "model": {k: torch.from_numpy(np.array(v))
                           for k, v in sd.items()},
-                "min_mpjpe": float(payload["meta"]["min_mpjpe"]),
-                "wandb_id": ""}, args.output)
+                "min_mpjpe": float(meta["min_mpjpe"]),
+                "wandb_id": str(meta.get("wandb_run_id", ""))}, args.output)
     print(args.output)
     return 0
+
+
+def _native_dir(path: str) -> str:
+    """Checkpoint parent dir (meta.json lives next to step_*)."""
+    return (os.path.dirname(path)
+            if os.path.basename(path).startswith("step_") else path)
 
 
 def cmd_profile(args: argparse.Namespace) -> int:

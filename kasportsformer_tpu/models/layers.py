@@ -22,7 +22,6 @@ matches the reference recipe and converted torch checkpoints drop in.
 
 from __future__ import annotations
 
-import functools
 import math
 from typing import Any
 
@@ -102,16 +101,6 @@ def attention_init(key: jax.Array, dim: int, qkv_bias: bool = False) -> Params:
         "qkv": linear_init(kq, dim, dim * 3, bias=qkv_bias),
         "proj": linear_init(kp, dim, dim),
     }
-
-
-@functools.lru_cache(maxsize=8)
-def _head_mask(c: int, num_heads: int) -> np.ndarray:
-    """(C, H) 0/1 mask: mask[ch, h] = 1 iff channel ch belongs to head h."""
-    d = c // num_heads
-    mask = np.zeros((c, num_heads), np.float32)
-    for ch in range(c):
-        mask[ch, ch // d] = 1.0
-    return mask
 
 
 def _sdpa_tokens(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,

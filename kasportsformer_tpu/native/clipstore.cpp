@@ -132,9 +132,7 @@ uint64_t ksf_array_bytes(void* handle, int idx) {
 void ksf_gather_rows(void* handle, int idx, const int32_t* indices, int n,
                      uint8_t* out, int n_threads) {
   const auto& info = static_cast<Store*>(handle)->arrays[idx];
-  uint64_t row_bytes = info.byte_len;
-  for (size_t d = 1; d < info.dims.size(); ++d) row_bytes = row_bytes;  // keep
-  row_bytes = info.byte_len / info.dims[0];
+  uint64_t row_bytes = info.byte_len / info.dims[0];
   if (n_threads <= 0) {
     n_threads = std::thread::hardware_concurrency();
     if (n_threads <= 0) n_threads = 4;

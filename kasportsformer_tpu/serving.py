@@ -50,13 +50,19 @@ class LiftService:
         dummy = jnp.zeros((batch_size, n_frames, 17, 3), jnp.float32)
         np.asarray(self._lift(params, state, dummy))
 
-    def lift_sequence(self, keypoints: np.ndarray, width: int, height: int
-                      ) -> np.ndarray:
-        """(T, 17, 2|3) pixel keypoints -> (T, 17, 3) root-relative poses.
+    def lift_sequence(self, keypoints: np.ndarray, width: int, height: int,
+                      world: bool = False) -> np.ndarray:
+        """(T, 17, 2|3) pixel keypoints -> (T, 17, 3) poses — root-relative
+        camera space, or (world=True) world space grounded at z=0 and
+        max-normalized like the demo renderer (`demo/demo.py:243-248`).
         The sequence is chunked into n_frames clips (tail stretched like the
         demo), padded to the compiled batch size, and lifted in one call per
         batch_size clips."""
-        from kasportsformer_tpu.demo.camera import normalize_screen_coordinates
+        from kasportsformer_tpu.demo.camera import (
+            DEMO_CAMERA_QUATERNION,
+            camera_to_world,
+            normalize_screen_coordinates,
+        )
         from kasportsformer_tpu.demo.lifting import turn_into_clips
 
         keypoints = np.asarray(keypoints, np.float32)
@@ -85,7 +91,13 @@ class LiftService:
         out = np.concatenate(outs)
         frames = [out[i] for i in range(len(out) - 1)]
         frames.append(out[-1][downsample])
-        return np.concatenate(frames, axis=0)[: len(keypoints)]
+        poses = np.concatenate(frames, axis=0)[: len(keypoints)]
+        if world:
+            poses = camera_to_world(poses, DEMO_CAMERA_QUATERNION, 0)
+            poses[..., 2] -= poses[..., 2].min(axis=-1, keepdims=True)
+            maxes = poses.reshape(poses.shape[0], -1).max(axis=1)
+            poses = poses / maxes[:, None, None]
+        return poses
 
 
 def make_handler(service: LiftService, model_name: str, n_params: int):
@@ -117,7 +129,8 @@ def make_handler(service: LiftService, model_name: str, n_params: int):
                 req = json.loads(self.rfile.read(length))
                 poses = service.lift_sequence(
                     np.asarray(req["keypoints"], np.float32),
-                    int(req["width"]), int(req["height"]))
+                    int(req["width"]), int(req["height"]),
+                    world=bool(req.get("world", False)))
                 self._send(200, {"poses": poses.tolist()})
             except (KeyError, ValueError, TypeError) as e:
                 self._send(400, {"error": f"{type(e).__name__}: {e}"})

@@ -228,14 +228,25 @@ class Trainer:
         return jax.device_put(arr, self.batch_sharding)
 
     def fit(self, params, state, epochs: int | None = None,
-            epoch_start: int = 0, min_mpjpe: float = math.inf):
+            epoch_start: int = 0, min_mpjpe: float = math.inf,
+            opt_state=None, lr: float | None = None,
+            scheduler_state: dict | None = None):
+        """Run the epoch loop. For a resume, pass the restored `opt_state`,
+        `lr` and `scheduler_state` from the checkpoint payload (see
+        `resume_payload`) — otherwise a warm run would restart at the full
+        un-decayed LR with fresh Adam moments."""
         config = self.config
         if self.replicated is not None:
             params = jax.device_put(params, self.replicated)
             state = jax.device_put(state, self.replicated)
-        opt_state = self.optimizer.init(params)
+        if opt_state is None:
+            opt_state = self.optimizer.init(params)
+        elif self.replicated is not None:
+            opt_state = jax.device_put(opt_state, self.replicated)
         scheduler = ReduceLROnPlateau(factor=config.learning_rate_decay, patience=2)
-        lr = config.learning_rate
+        if scheduler_state is not None:
+            scheduler.load_state_dict(scheduler_state)
+        lr = config.learning_rate if lr is None else lr
         patience_count = 0
         best_epoch = epoch_start
         root_key = jax.random.key(config.seed)
@@ -328,16 +339,44 @@ class Trainer:
               min_mpjpe, tag: str):
         directory = os.path.join(self.config.new_checkpoint_dir,
                                  f"{self.config.new_checkpoint_name}_{tag}")
-        payload = {
-            "params": params,
-            "state": state,
-            "opt_state": opt_state,
-            "meta": {
-                "epoch": np.int64(epoch + 1),
-                "learning_rate": np.float64(lr),
-                "min_mpjpe": np.float64(min_mpjpe),
-                "scheduler_best": np.float64(scheduler.best),
-                "scheduler_bad_epochs": np.int64(scheduler.num_bad_epochs),
-            },
-        }
+        payload = {"params": params, "state": state, "opt_state": opt_state}
         ckpt.save_native(directory, 0, payload)
+        # host metadata (incl. the wandb run id string) rides in a JSON
+        # sidecar — one schema for save AND resume (the reference's saver and
+        # resumer disagree on key names, SURVEY.md §5.4)
+        meta = {
+            "epoch": epoch + 1,
+            "learning_rate": float(lr),
+            "min_mpjpe": float(min_mpjpe),
+            "scheduler_best": (scheduler.best if math.isfinite(scheduler.best)
+                               else None),
+            "scheduler_bad_epochs": scheduler.num_bad_epochs,
+            "wandb_run_id": self.config.wandb_run_id or "",
+        }
+        import json
+
+        with open(os.path.join(directory, "meta.json"), "w") as f:
+            json.dump(meta, f)
+
+
+def load_checkpoint_meta(directory: str) -> dict:
+    import json
+
+    with open(os.path.join(directory, "meta.json")) as f:
+        return json.load(f)
+
+
+def resume_kwargs(meta: dict, opt_state) -> dict:
+    """Resume kwargs for `Trainer.fit` from a checkpoint's meta + restored
+    optimizer state."""
+    best = meta.get("scheduler_best")
+    return {
+        "epoch_start": int(meta["epoch"]),
+        "min_mpjpe": float(meta["min_mpjpe"]),
+        "opt_state": opt_state,
+        "lr": float(meta["learning_rate"]),
+        "scheduler_state": {
+            "best": math.inf if best is None else float(best),
+            "num_bad_epochs": int(meta["scheduler_bad_epochs"]),
+        },
+    }

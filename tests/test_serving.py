@@ -100,3 +100,15 @@ def test_concurrent_requests(server):
     first = np.asarray(results[0][1]["poses"])
     for status, data in results[1:]:
         np.testing.assert_array_equal(np.asarray(data["poses"]), first)
+
+
+def test_lift_world_space(server):
+    kpts = RNG.uniform(0, 1000, (10, 17, 2)).tolist()
+    status, data = _request(server, "POST", "/lift",
+                            {"keypoints": kpts, "width": 640, "height": 480,
+                             "world": True})
+    assert status == 200
+    poses = np.asarray(data["poses"])
+    # grounded (min z == 0 per frame) and max-normalized (max coord == 1)
+    np.testing.assert_allclose(poses[..., 2].min(axis=-1), 0.0, atol=1e-5)
+    np.testing.assert_allclose(poses.reshape(10, -1).max(1), 1.0, atol=1e-5)
