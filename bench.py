@@ -94,6 +94,10 @@ def main() -> int:
         "unit": "clips/s",
         "vs_baseline": round(best / BASELINE_CLIPS_PER_SEC, 2),
         "batch_size": best_batch,
+        # both dtypes stated per judge nit: ours is bf16 compute / f32 params;
+        # the 1.67 clips/s denominator is the reference's eager fp32 on CPU
+        "dtype": "bfloat16 compute, float32 params",
+        "baseline": "reference torch CPU eager fp32 (BASELINE.md)",
     }))
     return 0
 

@@ -150,6 +150,10 @@ def cmd_evaluate(args: argparse.Namespace) -> int:
     from kasportsformer_tpu.utils.common import get_logger, seed_everything
 
     config = load_config(args.config_path)
+    if getattr(args, "matmul_precision", None):
+        # strict-parity evaluation knob (scripts/parity_gate.sh): TPU f32
+        # matmuls default to bf16x3; 'highest' forces full f32 accumulation
+        config = config.replace(matmul_precision=args.matmul_precision)
     _jax(config)
     seed_everything(config.seed)
     log = get_logger(config.logger_dir_path,
@@ -420,6 +424,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     p_eval = sub.add_parser("evaluate", help="evaluate a checkpoint")
     p_eval.add_argument("--config-path", required=True)
+    p_eval.add_argument("--matmul-precision", default=None,
+                        choices=["default", "high", "highest"])
     p_eval.add_argument("--checkpoint", default=None,
                         help="override checkpoint path (.pth or orbax dir)")
     p_eval.set_defaults(fn=cmd_evaluate)

@@ -25,11 +25,20 @@ def available_models() -> list[str]:
     return sorted(_REGISTRY)
 
 
+def _ensure_zoo_registered() -> None:
+    """Zoo modules register themselves on import; pull them in on first
+    factory miss so `build_model(...MixSTE...)` works without the caller
+    importing `kasportsformer_tpu.models.zoo` explicitly."""
+    import kasportsformer_tpu.models.zoo  # noqa: F401
+
+
 def build_model(config):
     """Build a model from a `kasportsformer_tpu.config.Config` (or any object
     with the model fields). Raises on unknown names like
     `model/model_tools.py:93-94`."""
     name = config.model_name.lower()
+    if name not in _REGISTRY:
+        _ensure_zoo_registered()
     if name not in _REGISTRY:
         raise ValueError(
             f"unrecognized model name {config.model_name!r}; "

@@ -50,6 +50,7 @@ class DSTFormerConfig:
     qkv_bias: bool = True
     qk_scale: float | None = None
     att_fuse: bool = True
+    drop_path_rate: float = 0.0
 
 
 def _attn_temporal(p: Params, x: jnp.ndarray, seqlen: int, num_heads: int,
@@ -76,16 +77,35 @@ def _attn_spatial(p: Params, x: jnp.ndarray, num_heads: int,
     return L.attention_tokens(p, x, num_heads, qk_scale)
 
 
+def _drop_path(branch: jnp.ndarray, rate: float, key) -> jnp.ndarray:
+    """Stochastic depth on the residual branch, timm semantics: per leading
+    (B*F or B*J) row, rescaled by keep prob (≙ `DSTFormer.py:234,249-256` —
+    the reference samples independently per residual)."""
+    if rate > 0.0 and key is not None:
+        keep = 1.0 - rate
+        mask = jax.random.bernoulli(key, keep, (branch.shape[0], 1, 1))
+        branch = branch * mask.astype(branch.dtype) / keep
+    return branch
+
+
 def _half_block(p: Params, x: jnp.ndarray, which: str, seqlen: int,
-                num_heads: int, qk_scale) -> jnp.ndarray:
+                num_heads: int, qk_scale, rate: float = 0.0,
+                key=None) -> jnp.ndarray:
+    k1 = k2 = None
+    if key is not None:
+        k1, k2 = jax.random.split(key)
     if which == "s":
-        x = x + _attn_spatial(p["attn_s"], L.layer_norm(p["norm1_s"], x),
-                              num_heads, qk_scale)
-        x = x + L.mlp(p["mlp_s"], L.layer_norm(p["norm2_s"], x))
+        x = x + _drop_path(
+            _attn_spatial(p["attn_s"], L.layer_norm(p["norm1_s"], x),
+                          num_heads, qk_scale), rate, k1)
+        x = x + _drop_path(
+            L.mlp(p["mlp_s"], L.layer_norm(p["norm2_s"], x)), rate, k2)
     else:
-        x = x + _attn_temporal(p["attn_t"], L.layer_norm(p["norm1_t"], x),
-                               seqlen, num_heads, qk_scale)
-        x = x + L.mlp(p["mlp_t"], L.layer_norm(p["norm2_t"], x))
+        x = x + _drop_path(
+            _attn_temporal(p["attn_t"], L.layer_norm(p["norm1_t"], x),
+                           seqlen, num_heads, qk_scale), rate, k1)
+        x = x + _drop_path(
+            L.mlp(p["mlp_t"], L.layer_norm(p["norm2_t"], x)), rate, k2)
     return x
 
 
@@ -136,9 +156,11 @@ class DSTFormer:
         return params, {}
 
     def apply(self, params: Params, state: Params, x: jnp.ndarray,
-              train: bool = False, return_rep: bool = False
-              ) -> tuple[jnp.ndarray, Params]:
+              train: bool = False, return_rep: bool = False,
+              key: jax.Array | None = None) -> tuple[jnp.ndarray, Params]:
         cfg = self.cfg
+        use_dp = train and key is not None and cfg.drop_path_rate > 0
+        dpr = [float(r) for r in np.linspace(0, cfg.drop_path_rate, cfg.depth)]
         x = x.astype(self.compute_dtype)
         b, f, j, _ = x.shape
         tokens = L.linear(params["joints_embed"], x.reshape(b * f, j, -1))
@@ -147,28 +169,48 @@ class DSTFormer:
                   + params["temp_embed"][:, :f].astype(tokens.dtype))
         tokens = tokens.reshape(b * f, j, -1)
 
-        def body(carry, step):
+        def depth_step(carry, st_p, ts_p, fuse, rate, keys4):
+            x_st = _half_block(st_p, carry, "s", f, cfg.num_heads,
+                               cfg.qk_scale, rate, keys4[0])
+            x_st = _half_block(st_p, x_st, "t", f, cfg.num_heads,
+                               cfg.qk_scale, rate, keys4[1])
+            x_ts = _half_block(ts_p, carry, "t", f, cfg.num_heads,
+                               cfg.qk_scale, rate, keys4[2])
+            x_ts = _half_block(ts_p, x_ts, "s", f, cfg.num_heads,
+                               cfg.qk_scale, rate, keys4[3])
             if cfg.att_fuse:
-                st_p, ts_p, fuse_w, fuse_b = step
-            else:
-                st_p, ts_p = step
-            x_st = _half_block(st_p, carry, "s", f, cfg.num_heads, cfg.qk_scale)
-            x_st = _half_block(st_p, x_st, "t", f, cfg.num_heads, cfg.qk_scale)
-            x_ts = _half_block(ts_p, carry, "t", f, cfg.num_heads, cfg.qk_scale)
-            x_ts = _half_block(ts_p, x_ts, "s", f, cfg.num_heads, cfg.qk_scale)
-            if cfg.att_fuse:
+                fuse_w, fuse_b = fuse
                 alpha = jnp.concatenate([x_st, x_ts], axis=-1)
                 alpha = alpha @ fuse_w.astype(alpha.dtype) + fuse_b.astype(alpha.dtype)
                 alpha = jax.nn.softmax(alpha.astype(jnp.float32), -1).astype(carry.dtype)
-                out = x_st * alpha[..., 0:1] + x_ts * alpha[..., 1:2]
-            else:
-                out = (x_st + x_ts) * 0.5
-            return out, None
+                return x_st * alpha[..., 0:1] + x_ts * alpha[..., 1:2]
+            return (x_st + x_ts) * 0.5
 
-        xs = ((params["blocks_st"], params["blocks_ts"],
-               params["ts_attn"]["w"], params["ts_attn"]["b"])
-              if cfg.att_fuse else (params["blocks_st"], params["blocks_ts"]))
-        tokens, _ = jax.lax.scan(body, tokens, xs)
+        if use_dp:
+            # per-depth drop-path rates differ -> unrolled loop in train
+            depth_keys = jax.random.split(key, cfg.depth * 4)
+            for i in range(cfg.depth):
+                st_p = jax.tree.map(lambda t: t[i], params["blocks_st"])
+                ts_p = jax.tree.map(lambda t: t[i], params["blocks_ts"])
+                fuse = ((params["ts_attn"]["w"][i], params["ts_attn"]["b"][i])
+                        if cfg.att_fuse else None)
+                tokens = depth_step(tokens, st_p, ts_p, fuse, dpr[i],
+                                    [depth_keys[i * 4 + j] for j in range(4)])
+        else:
+            def body(carry, step):
+                if cfg.att_fuse:
+                    st_p, ts_p, fuse_w, fuse_b = step
+                    fuse = (fuse_w, fuse_b)
+                else:
+                    st_p, ts_p = step
+                    fuse = None
+                out = depth_step(carry, st_p, ts_p, fuse, 0.0, [None] * 4)
+                return out, None
+
+            xs = ((params["blocks_st"], params["blocks_ts"],
+                   params["ts_attn"]["w"], params["ts_attn"]["b"])
+                  if cfg.att_fuse else (params["blocks_st"], params["blocks_ts"]))
+            tokens, _ = jax.lax.scan(body, tokens, xs)
 
         tokens = L.layer_norm(params["norm"], tokens)
         out = tokens.reshape(b, f, j, -1)
@@ -188,6 +230,7 @@ def _build(config):
         dim_in=config.dim_in, dim_out=config.dim_out, dim_feat=config.dim_feat,
         dim_rep=config.dim_rep, depth=config.n_layers,
         num_heads=config.num_heads, mlp_ratio=float(config.mlp_ratio),
-        num_joints=config.num_joints, qkv_bias=True, qk_scale=config.qkv_scale)
+        num_joints=config.num_joints, qkv_bias=True, qk_scale=config.qkv_scale,
+        drop_path_rate=config.drop_path)
     dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32
     return DSTFormer(cfg, compute_dtype=dtype)

@@ -30,8 +30,11 @@ _DTYPE_CODES = {np.dtype(np.float32): 0, np.dtype(np.int32): 1,
 def _build_library() -> str:
     if not os.path.exists(_LIB_PATH) or (
             os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC)):
+        # -mtune (not -march): the cached .so may be reused on a different
+        # CPU than the build host; tune for the local one without emitting
+        # ISA extensions that would SIGILL elsewhere.
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+            ["g++", "-O3", "-mtune=native", "-shared", "-fPIC", "-std=c++17",
              "-o", _LIB_PATH, _SRC, "-lpthread"],
             check=True, capture_output=True)
     return _LIB_PATH

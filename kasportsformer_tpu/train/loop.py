@@ -43,6 +43,10 @@ from kasportsformer_tpu.data.pipeline import (
 from kasportsformer_tpu.train import checkpoint as ckpt
 from kasportsformer_tpu.train.evaluator import Evaluator
 from kasportsformer_tpu.train.losses import (
+    cos_similarity_loss,
+    cos_similarity_velocity_loss,
+    limb_length_loss,
+    limb_length_variance_loss,
     mpjpe_loss,
     n_mpjpe_loss,
     velocity_loss,
@@ -61,23 +65,50 @@ def _per_sample(fn: Callable, predict: jnp.ndarray, target: jnp.ndarray
 
 def weighted_total_loss(predict: jnp.ndarray, target: jnp.ndarray,
                         weights: jnp.ndarray, lambda_n_mpjpe: float,
-                        lambda_mpjpe_velocity: float
+                        lambda_mpjpe_velocity: float,
+                        lambda_limb_len_var: float = 0.0,
+                        lambda_limb_len: float = 0.0,
+                        lambda_limb_cos_simi: float = 0.0,
+                        lambda_limb_cos_simi_velocity: float = 0.0,
                         ) -> tuple[jnp.ndarray, dict[str, jnp.ndarray]]:
-    """Reference objective (`train_and_evaluate_sp.py:212-222`) with a
-    per-sample 0/1 weight so padded samples contribute nothing. With all
-    weights 1 this equals the unweighted loss exactly (all clips share T, J).
+    """Reference objective (`train_and_evaluate_sp.py:212-222`) plus the limb
+    family the reference ships commented out (`:216-220`,
+    `utils/loss_calc.py:30-94`), with a per-sample 0/1 weight so padded
+    samples contribute nothing. With all weights 1 this equals
+    `losses.total_loss` exactly (all clips share T, J). Lambdas are static
+    config values, so zero-lambda terms compile away.
     """
     w = weights / jnp.maximum(jnp.sum(weights), 1.0)
-    l_mpjpe = jnp.sum(_per_sample(mpjpe_loss, predict, target) * w)
-    l_n = jnp.sum(_per_sample(n_mpjpe_loss, predict, target) * w)
-    l_vel = jnp.sum(_per_sample(velocity_loss, predict, target) * w)
+
+    def wmean(fn):
+        return jnp.sum(_per_sample(fn, predict, target) * w)
+
+    l_mpjpe = wmean(mpjpe_loss)
+    l_n = wmean(n_mpjpe_loss)
+    l_vel = wmean(velocity_loss)
     total = l_mpjpe + lambda_n_mpjpe * l_n + lambda_mpjpe_velocity * l_vel
-    return total, {
+    comps = {
         "loss_mpjpe": l_mpjpe,
         "loss_n_mpjpe": l_n,
         "loss_velocity": l_vel,
-        "loss_total": total,
     }
+    if lambda_limb_len_var:
+        comps["loss_limb_len_var"] = wmean(
+            lambda p, t: limb_length_variance_loss(p))
+        total = total + lambda_limb_len_var * comps["loss_limb_len_var"]
+    if lambda_limb_len:
+        comps["loss_limb_len"] = wmean(limb_length_loss)
+        total = total + lambda_limb_len * comps["loss_limb_len"]
+    if lambda_limb_cos_simi:
+        comps["loss_limb_len_cos_simi"] = wmean(cos_similarity_loss)
+        total = total + lambda_limb_cos_simi * comps["loss_limb_len_cos_simi"]
+    if lambda_limb_cos_simi_velocity:
+        comps["loss_limb_len_cos_simi_velocity"] = wmean(
+            cos_similarity_velocity_loss)
+        total = (total + lambda_limb_cos_simi_velocity
+                 * comps["loss_limb_len_cos_simi_velocity"])
+    comps["loss_total"] = total
+    return total, comps
 
 
 # ------------------------------------------------------------ optimizer
@@ -159,10 +190,23 @@ def make_train_step(model, config: Config, optimizer: optax.GradientTransformati
     -> AdamW. Under a mesh, sharding propagates from the donated params /
     batch shardings; gradient all-reduce rides ICI automatically."""
 
-    def loss_fn(params, state, x, y, weights):
-        pred, new_state = model.apply(params, state, x, train=True)
+    # Zoo models with stochastic depth take a `key` kwarg in apply (e.g.
+    # MixSTE/DSTFormer, ≙ reference dpr defaults `model/MixSTE.py:414`);
+    # thread the step key through so drop-path actually runs in training.
+    import inspect
+
+    takes_key = "key" in inspect.signature(model.apply).parameters
+
+    def loss_fn(params, state, x, y, weights, key):
+        if takes_key:
+            pred, new_state = model.apply(params, state, x, train=True, key=key)
+        else:
+            pred, new_state = model.apply(params, state, x, train=True)
         total, comps = weighted_total_loss(
-            pred, y, weights, config.lambda_n_mpjpe, config.lambda_mpjpe_velocity)
+            pred, y, weights, config.lambda_n_mpjpe,
+            config.lambda_mpjpe_velocity, config.lambda_limb_len_var,
+            config.lambda_limb_len, config.lambda_limb_cos_simi,
+            config.lambda_limb_cos_simi_velocity)
         return total, (comps, new_state)
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
@@ -172,12 +216,14 @@ def make_train_step(model, config: Config, optimizer: optax.GradientTransformati
     # the returned pytrees, as the Trainer does). No-op on CPU.
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def step(params, state, opt_state, arrays, idx, weights, key):
+        flip_key, model_key = jax.random.split(key)
         x = take_batch(arrays["inputs"], idx)
         y = take_batch(arrays["labels"], idx)
         if config.flip:
-            x, y = random_flip_batch(key, x, y)
+            x, y = random_flip_batch(flip_key, x, y)
         x = truncate_channels(x, config.input_channel_number)
-        (_, (comps, new_state)), grads = grad_fn(params, state, x, y, weights)
+        (_, (comps, new_state)), grads = grad_fn(
+            params, state, x, y, weights, model_key)
         updates, new_opt_state = optimizer.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
         return new_params, new_state, new_opt_state, comps
@@ -219,7 +265,8 @@ class Trainer:
         self.evaluator = Evaluator(
             model, test_set, batch_size=eval_bs, flip=config.flip,
             input_channel_number=config.input_channel_number,
-            batch_sharding=self.batch_sharding)
+            batch_sharding=self.batch_sharding,
+            array_sharding=self.replicated)
         self.rng = np.random.default_rng(config.seed)
 
     def _shard_batch(self, arr: jnp.ndarray) -> jnp.ndarray:
@@ -259,8 +306,7 @@ class Trainer:
                 lr = wu
             set_learning_rate(opt_state, lr)
 
-            meters = {k: AverageMeter() for k in
-                      ("loss_mpjpe", "loss_n_mpjpe", "loss_velocity", "loss_total")}
+            meters: dict[str, AverageMeter] = {}
             plan = epoch_plan(self.n_train, config.batch_size, self.rng)
             epoch_key = jax.random.fold_in(root_key, epoch)
             t0 = time.time()
@@ -272,8 +318,8 @@ class Trainer:
                     self._shard_batch(jnp.asarray(plan.indices[s])),
                     self._shard_batch(jnp.asarray(plan.weights[s])), step_key)
                 n_real = int(plan.weights[s].sum())
-                for k, meter in meters.items():
-                    meter.update(float(comps[k]), n_real)
+                for k, value in comps.items():
+                    meters.setdefault(k, AverageMeter()).update(float(value), n_real)
             train_time = time.time() - t0
 
             result = self.evaluator.run(params, state)
@@ -314,10 +360,9 @@ class Trainer:
     def _log_metrics(self, epoch, lr, meters, result, min_mpjpe):
         payload = {
             "learning_rate": lr,
-            "train/loss_mpjpe": meters["loss_mpjpe"].avg,
-            "train/loss_n_mpjpe": meters["loss_n_mpjpe"].avg,
-            "train/loss_velocity": meters["loss_velocity"].avg,
-            "train/loss_total": meters["loss_total"].avg,
+            # the reference's four keys always present; limb-loss keys join
+            # when their lambdas are nonzero
+            **{f"train/{k}": meter.avg for k, meter in meters.items()},
             "eval/mpjpe": result["mpjpe"],
             "eval/p-mpjpe": result["p_mpjpe"],
             "eval/min_mpjpe": min_mpjpe,

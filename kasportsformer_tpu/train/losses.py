@@ -17,6 +17,18 @@ _LIMB_B = np.array([p[1] for p in LIMB_PAIRS])
 _ANGLE_A = np.array([p[0] for p in ANGLE_PAIRS])
 _ANGLE_B = np.array([p[1] for p in ANGLE_PAIRS])
 
+
+def _safe_norm(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    """L2 norm whose gradient at exactly 0 is 0 (torch.norm's subgradient
+    convention) instead of NaN. Exact zeros do occur in training: resampled
+    clips duplicate frames (`wp_reader.py:95-111`), which can make a
+    velocity difference bitwise zero — `jnp.linalg.norm`'s d/dx = x/|x|
+    would then poison every gradient in the step. Forward values are
+    identical to jnp.linalg.norm."""
+    sq = jnp.sum(x * x, axis=axis)
+    nonzero = sq > 0
+    return jnp.where(nonzero, jnp.sqrt(jnp.where(nonzero, sq, 1.0)), 0.0)
+
 # Per-joint weights used by weighted MPJPE (`utils/loss_calc.py:108`).
 WEIGHTED_MPJPE_W = np.array(
     [1, 1, 2.5, 2.5, 1, 2.5, 2.5, 1, 1, 1, 1.5, 1.5, 4, 4, 1.5, 4, 4],
@@ -26,7 +38,7 @@ WEIGHTED_MPJPE_W = np.array(
 
 def mpjpe_loss(predict: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     """Mean per-joint position error (`utils/loss_calc.py:6-10`)."""
-    return jnp.mean(jnp.linalg.norm(predict - target, axis=-1))
+    return jnp.mean(_safe_norm(predict - target))
 
 
 def n_mpjpe_loss(predict: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
@@ -49,13 +61,13 @@ def velocity_loss(predict: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
         return jnp.zeros((), dtype=predict.dtype)
     vel_p = predict[:, 1:] - predict[:, :-1]
     vel_t = target[:, 1:] - target[:, :-1]
-    return jnp.mean(jnp.linalg.norm(vel_p - vel_t, axis=-1))
+    return jnp.mean(_safe_norm(vel_p - vel_t))
 
 
 def limb_lengths(x: jnp.ndarray) -> jnp.ndarray:
     """(B, T, 17, 3) -> (B, T, 16) bone lengths (`utils/loss_calc.py:30-42`)."""
     diffs = x[:, :, _LIMB_A, :] - x[:, :, _LIMB_B, :]
-    return jnp.linalg.norm(diffs, axis=-1)
+    return _safe_norm(diffs)
 
 
 def limb_length_variance_loss(x: jnp.ndarray) -> jnp.ndarray:
@@ -79,9 +91,10 @@ def limb_angles(x: jnp.ndarray) -> jnp.ndarray:
     bones = x[:, :, _LIMB_A, :] - x[:, :, _LIMB_B, :]  # (B, T, 16, 3)
     a = bones[:, :, _ANGLE_A, :]
     b = bones[:, :, _ANGLE_B, :]
-    # torch cosine_similarity clamps each norm below at eps=1e-8.
-    na = jnp.maximum(jnp.linalg.norm(a, axis=-1), 1e-8)
-    nb = jnp.maximum(jnp.linalg.norm(b, axis=-1), 1e-8)
+    # torch cosine_similarity clamps each norm below at eps=1e-8. The clamp
+    # does NOT rescue the backward (0 * nan = nan), hence _safe_norm.
+    na = jnp.maximum(_safe_norm(a), 1e-8)
+    nb = jnp.maximum(_safe_norm(b), 1e-8)
     cos = jnp.sum(a * b, axis=-1) / (na * nb)
     return jnp.arccos(jnp.clip(cos, -1 + eps, 1 - eps))
 
@@ -110,7 +123,7 @@ def weighted_2d_loss(
 ) -> jnp.ndarray:
     """Confidence-weighted 2D reprojection error (`utils/loss_calc.py:96-101`)."""
     diff = (predict[..., :2] - target[..., :2]) * conf
-    return jnp.mean(jnp.linalg.norm(diff, axis=-1))
+    return jnp.mean(_safe_norm(diff))
 
 
 def weighted_mpjpe(
@@ -119,7 +132,7 @@ def weighted_mpjpe(
     """Per-joint weighted MPJPE (`utils/loss_calc.py:103-112`)."""
     if w is None:
         w = jnp.asarray(WEIGHTED_MPJPE_W)
-    return jnp.mean(w * jnp.linalg.norm(predict - target, axis=-1))
+    return jnp.mean(w * _safe_norm(predict - target))
 
 
 def total_loss(

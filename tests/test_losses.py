@@ -106,3 +106,83 @@ def test_total_loss_composition():
     )
     assert float(total) == pytest.approx(expected, rel=1e-6)
     assert float(comps["loss_total"]) == pytest.approx(expected, rel=1e-6)
+
+
+def test_weighted_total_loss_limb_lambdas():
+    """The train step's weighted loss with all-ones weights equals
+    `losses.total_loss` term for term, including the limb family the
+    reference ships commented out (`train_and_evaluate_sp.py:216-220`)."""
+    from kasportsformer_tpu.train.loop import weighted_total_loss
+
+    p = jnp.asarray(_rand((3, 27, 17, 3)))
+    t = jnp.asarray(_rand((3, 27, 17, 3)))
+    lambdas = dict(lambda_n_mpjpe=0.5, lambda_mpjpe_velocity=20.0,
+                   lambda_limb_len_var=0.7, lambda_limb_len=1.3,
+                   lambda_limb_cos_simi=0.2,
+                   lambda_limb_cos_simi_velocity=0.4)
+    w_total, w_comps = weighted_total_loss(p, t, jnp.ones(3), **lambdas)
+    u_total, u_comps = losses.total_loss(p, t, **lambdas)
+    assert set(w_comps) == set(u_comps)
+    for k in u_comps:
+        assert float(w_comps[k]) == pytest.approx(float(u_comps[k]), rel=1e-5), k
+
+    # a nonzero limb lambda must change the objective
+    base_total, base_comps = weighted_total_loss(
+        p, t, jnp.ones(3), lambda_n_mpjpe=0.5, lambda_mpjpe_velocity=20.0)
+    assert float(w_total) != pytest.approx(float(base_total), rel=1e-6)
+    assert "loss_limb_len" not in base_comps
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference repo not mounted")
+def test_weighted_total_loss_matches_reference_commented_formula():
+    """Compose the reference's full (commented-out) objective from
+    `utils/loss_calc.py:30-94` in torch and compare."""
+    torch = pytest.importorskip("torch")
+    from tests.conftest import enable_reference_imports
+
+    enable_reference_imports()
+    from utils import loss_calc
+
+    from kasportsformer_tpu.train.loop import weighted_total_loss
+
+    p = _rand((2, 27, 17, 3))
+    t = _rand((2, 27, 17, 3))
+    tp, tt = torch.from_numpy(p), torch.from_numpy(t)
+    lam = dict(lambda_n_mpjpe=0.5, lambda_mpjpe_velocity=20.0,
+               lambda_limb_len_var=0.7, lambda_limb_len=1.3,
+               lambda_limb_cos_simi=0.2, lambda_limb_cos_simi_velocity=0.4)
+    want = (loss_calc.mpjpe_loss_calc(tp, tt)
+            + lam["lambda_n_mpjpe"] * loss_calc.n_mpjpe_loss_calc(tp, tt)
+            + lam["lambda_mpjpe_velocity"] * loss_calc.velocity_loss_calc(tp, tt)
+            + lam["lambda_limb_len_var"] * loss_calc.loss_limb_var_calc(tp)
+            + lam["lambda_limb_len"] * loss_calc.loss_limb_len_calc(tp, tt)
+            + lam["lambda_limb_cos_simi"] * loss_calc.loss_cos_simi_calc(tp, tt)
+            + lam["lambda_limb_cos_simi_velocity"]
+            * loss_calc.loss_cos_simi_velocity_calc(tp, tt))
+    got, _ = weighted_total_loss(jnp.asarray(p), jnp.asarray(t), jnp.ones(2), **lam)
+    assert float(got) == pytest.approx(float(want), abs=5e-4)
+
+
+def test_loss_gradients_finite_at_exact_zero_distance():
+    """Resampled clips duplicate frames (`wp_reader.py:95-111`), which can
+    make velocity differences bitwise zero; the loss gradients must follow
+    torch.norm's subgradient-0 convention instead of NaN-ing the step."""
+    import jax
+
+    # pred == target on a whole frame -> zero mpjpe norm AND zero velocity
+    t = jnp.asarray(_rand((2, 4, 17, 3)))
+    p0 = t.at[0, 2:].add(0.25)  # frames 0-1 of clip 0 match target exactly
+
+    lam = dict(lambda_n_mpjpe=0.5, lambda_mpjpe_velocity=20.0,
+               lambda_limb_len_var=0.1, lambda_limb_len=0.1,
+               lambda_limb_cos_simi=0.1, lambda_limb_cos_simi_velocity=0.1)
+
+    def f(p):
+        return losses.total_loss(p, t, **lam)[0]
+
+    g = jax.grad(f)(p0)
+    assert bool(jnp.isfinite(g).all()), "NaN gradient at exact-zero norms"
+
+    # degenerate all-equal prediction (every bone zero-length)
+    g2 = jax.grad(f)(jnp.ones_like(t))
+    assert bool(jnp.isfinite(g2).all())
