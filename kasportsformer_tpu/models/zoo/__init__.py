@@ -7,6 +7,7 @@ from kasportsformer_tpu.models.zoo import (  # noqa: F401
     hdformer,
     ktpformer,
     mixste,
+    mixste_legacy,
     motionagformer,
     stcformer,
 )

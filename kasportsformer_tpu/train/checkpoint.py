@@ -266,6 +266,74 @@ def mixste_state_dict_to_params(state_dict: dict[str, Any], depth: int
     return params, {}
 
 
+def mixste_seperate_state_dict_to_params(state_dict: dict[str, Any],
+                                         depth: int) -> tuple[Params, Params]:
+    """Reference `MixSTE_seperate` state_dict (`model/MixSTE.py:570-741`) ->
+    (params, state) for `zoo.mixste_legacy.MixSTESeperate`."""
+    sd = strip_module_prefix(state_dict)
+    params: Params = {
+        "spatial_embed": _lin(sd, "Spatial_patch_to_embedding"),
+        "spatial_pos_embed": jnp.asarray(_np(sd["Spatial_pos_embed"])),
+        "temporal_pos_embed": jnp.asarray(_np(sd["Temporal_pos_embed"])),
+        "spatial_norm": _ln(sd, "Spatial_norm"),
+        "temporal_norm": _ln(sd, "Temporal_norm"),
+        "head_norm": _ln(sd, "head.0"),
+        "head": _lin(sd, "head.1"),
+        "ste": [_tblock(sd, f"STEblocks.{i}") for i in range(depth)],
+        "tte": [_tblock(sd, f"TTEblocks.{i}") for i in range(depth)],
+    }
+    return params, {}
+
+
+def _conv1x1_as_linear(sd: dict, name: str) -> Params:
+    """1x1 Conv1d (out, in, 1) -> linear {'w': (in, out), 'b': (out,)}
+    (the changedim reduction/improve convs, `model/MixSTE.py:323-328`)."""
+    w = _np(sd[f"{name}.weight"])[:, :, 0].T
+    p = {"w": jnp.asarray(w)}
+    if f"{name}.bias" in sd:
+        p["b"] = jnp.asarray(_np(sd[f"{name}.bias"]))
+    return p
+
+
+def mixste_pooling_state_dict_to_params(state_dict: dict[str, Any],
+                                        depth: int) -> tuple[Params, Params]:
+    """Reference `MixSTEPooling` state_dict (`model/MixSTE.py:1084-1287`) ->
+    (params, state) for `zoo.mixste_legacy.MixSTEPooling`."""
+    sd = strip_module_prefix(state_dict)
+    tte = []
+    for i in range(depth):
+        blk = _tblock(sd, f"TTEblocks.{i}")
+        if f"TTEblocks.{i}.reduction.weight" in sd:
+            blk["reduction"] = _conv1x1_as_linear(sd, f"TTEblocks.{i}.reduction")
+        if f"TTEblocks.{i}.improve.weight" in sd:
+            blk["improve"] = _conv1x1_as_linear(sd, f"TTEblocks.{i}.improve")
+        tte.append(blk)
+    params: Params = {
+        "spatial_embed": _lin(sd, "Spatial_patch_to_embedding"),
+        "spatial_pos_embed": jnp.asarray(_np(sd["Spatial_pos_embed"])),
+        "temporal_pos_embed": jnp.asarray(_np(sd["Temporal_pos_embed"])),
+        "spatial_norms": [_ln(sd, f"Spatial_norm.{i}") for i in range(depth)],
+        "temporal_norms": [_ln(sd, f"Temporal_norm.{i}") for i in range(depth)],
+        "head_norm": _ln(sd, "head.0"),
+        "head": _lin(sd, "head.1"),
+        "ste": [_tblock(sd, f"STEblocks.{i}") for i in range(depth)],
+        "tte": tte,
+    }
+    return params, {}
+
+
+def prob_attention_state_dict_to_params(state_dict: dict[str, Any]) -> Params:
+    """Reference `ProbAttention` module state_dict (`model/MixSTE.py:187-192`)
+    -> params for `zoo.mixste_legacy.prob_attention`."""
+    sd = strip_module_prefix(state_dict)
+    return {
+        "query": _lin(sd, "query_projection"),
+        "key": _lin(sd, "key_projection"),
+        "value": _lin(sd, "value_projection"),
+        "proj": _lin(sd, "proj"),
+    }
+
+
 def stcformer_state_dict_to_params(state_dict: dict[str, Any], n_layers: int
                                    ) -> tuple[Params, Params]:
     """Reference STCFormer `Model` state_dict (`model/STCFormer.py`) ->

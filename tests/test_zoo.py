@@ -369,3 +369,127 @@ def test_train_step_threads_key_to_zoo_models():
 
     # at drop_path 0.9 different keys drop different residuals -> losses differ
     assert run(jax.random.key(1)) != run(jax.random.key(2))
+
+
+def test_prob_attention_parity():
+    """ProbAttention (`model/MixSTE.py:173-297`) forward parity with the
+    torch-drawn key-sample indices pinned (the reference samples them from
+    the global torch RNG each forward)."""
+    torch = pytest.importorskip("torch")
+    enable_reference_imports()
+    import math as _math
+
+    from model.MixSTE import ProbAttention as TorchPA
+
+    from kasportsformer_tpu.models.zoo.mixste_legacy import prob_attention
+    from kasportsformer_tpu.train.checkpoint import (
+        prob_attention_state_dict_to_params,
+    )
+
+    dim, heads, n, factor = 32, 4, 27, 5
+    torch.manual_seed(3)
+    tmod = TorchPA(dim, num_heads=heads, factor=factor, attn_drop=0.0)
+    tmod.eval()
+    x = RNG.standard_normal((2, n, dim)).astype(np.float32)
+
+    # reproduce the internal torch.randint draw by resetting the seed
+    l_k = n
+    u_part = min(int(factor * np.ceil(np.log(l_k))), l_k)
+    torch.manual_seed(77)
+    idx = torch.randint(l_k, (n, u_part))
+    torch.manual_seed(77)
+    with torch.no_grad():
+        want = tmod(torch.from_numpy(x)).numpy()
+
+    params = prob_attention_state_dict_to_params(tmod.state_dict())
+    got = prob_attention(params, jnp.asarray(x), heads, factor=factor,
+                         index_sample=jnp.asarray(idx.numpy()))
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+
+
+def test_mixste_seperate_parity():
+    """MixSTE_seperate (`model/MixSTE.py:570-741`) forward parity, incl. its
+    double-apply of temporal block 0."""
+    torch = pytest.importorskip("torch")
+    enable_reference_imports()
+    from model.MixSTE import MixSTE_seperate as TorchSep
+
+    from kasportsformer_tpu.models.zoo.mixste_legacy import (
+        MixSTESeperate,
+        MixSTESeperateConfig,
+    )
+    from kasportsformer_tpu.train.checkpoint import (
+        mixste_seperate_state_dict_to_params,
+    )
+
+    torch.manual_seed(9)
+    tmodel = TorchSep(num_frame=27, num_joints=17, in_chans=2,
+                      embed_dim_ratio=32, depth=3, num_heads=4,
+                      drop_path_rate=0.0)
+    tmodel.eval()
+    params, state = mixste_seperate_state_dict_to_params(
+        tmodel.state_dict(), depth=3)
+    jmodel = MixSTESeperate(MixSTESeperateConfig(
+        num_frame=27, num_joints=17, in_chans=2, embed_dim=32, depth=3,
+        num_heads=4, drop_path_rate=0.0))
+
+    x = _x()[..., :2]
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(x)).numpy()
+    got, _ = jmodel.apply(params, state, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+
+
+def test_mixste_pooling_parity():
+    """MixSTEPooling (`model/MixSTE.py:1084-1287`) forward parity, incl. the
+    channel-halving reduction/improve convs."""
+    torch = pytest.importorskip("torch")
+    enable_reference_imports()
+    from model.MixSTE import MixSTEPooling as TorchPool
+
+    from kasportsformer_tpu.models.zoo.mixste_legacy import (
+        MixSTEPooling,
+        MixSTEPoolingConfig,
+    )
+    from kasportsformer_tpu.train.checkpoint import (
+        mixste_pooling_state_dict_to_params,
+    )
+
+    torch.manual_seed(11)
+    tmodel = TorchPool(num_frame=27, num_joints=17, in_chans=2,
+                       embed_dim_ratio=32, depth=4, num_heads=4,
+                       drop_path_rate=0.0)
+    tmodel.eval()
+    params, state = mixste_pooling_state_dict_to_params(
+        tmodel.state_dict(), depth=4)
+    jmodel = MixSTEPooling(MixSTEPoolingConfig(
+        num_frame=27, num_joints=17, in_chans=2, embed_dim=32, depth=4,
+        num_heads=4, drop_path_rate=0.0))
+
+    x = _x()[..., :2]
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(x)).numpy()
+    got, _ = jmodel.apply(params, state, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+
+
+def test_attn_pooling_parity():
+    """attn_pooling grouped strided conv (`model/MixSTE.py:390-402`)."""
+    torch = pytest.importorskip("torch")
+    enable_reference_imports()
+    from model.MixSTE import attn_pooling as TorchAP
+
+    from kasportsformer_tpu.models.zoo.mixste_legacy import attn_pooling
+    from kasportsformer_tpu.train.checkpoint import _conv, _lin
+
+    torch.manual_seed(13)
+    tmod = TorchAP(in_feature=32, out_feature=64, stride=2)
+    tmod.eval()
+    sd = tmod.state_dict()
+    params = {"conv": _conv({k: v for k, v in sd.items()}, "conv"),
+              "fc": _lin({k: v for k, v in sd.items()}, "fc")}
+    x = RNG.standard_normal((2, 32, 28)).astype(np.float32)
+    with torch.no_grad():
+        want = tmod(torch.from_numpy(x)).numpy()
+    got = attn_pooling(params, jnp.asarray(x), in_feature=32, stride=2)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
