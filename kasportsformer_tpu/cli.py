@@ -296,7 +296,7 @@ def cmd_demo(args: argparse.Namespace) -> int:
     output_dir = args.output_dir or os.path.join("./output", video_name)
     run_demo(args.video, output_dir, args.config_path, args.checkpoint,
              args.yolo_cfg, args.yolo_weights, args.hrnet_weights,
-             elev=args.elev, azim=args.azim)
+             elev=args.elev, azim=args.azim, hrnet_cfg=args.hrnet_cfg)
     print(os.path.join(output_dir, "demo.mp4"))
     return 0
 
@@ -453,6 +453,9 @@ def build_parser() -> argparse.ArgumentParser:
     p_demo.add_argument("--yolo-cfg", required=True)
     p_demo.add_argument("--yolo-weights", required=True)
     p_demo.add_argument("--hrnet-weights", required=True)
+    p_demo.add_argument("--hrnet-cfg", default=None,
+                        help="reference yacs experiment yaml for a non-w48 "
+                             "HRNet layout (defaults to w48_384x288)")
     p_demo.add_argument("--output-dir", default=None)
     p_demo.add_argument("--elev", type=float, default=5)
     p_demo.add_argument("--azim", type=float, default=5)

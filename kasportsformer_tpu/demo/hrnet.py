@@ -38,6 +38,41 @@ class HRNetConfig:
     image_size: tuple = (288, 384)  # (W, H)
 
 
+def hrnet_config_from_yaml(path: str) -> HRNetConfig:
+    """Load a reference yacs experiment file (e.g.
+    `demo/lib/hrnet/experiments/w48_384x288_adam_lr1e-3.yaml`) into an
+    HRNetConfig — the typed replacement for the reference's second config
+    system (`demo/lib/hrnet/lib/config/default.py:1-160`). Only the keys
+    that shape the network are read; trainer-side yacs keys are ignored."""
+    import yaml
+
+    with open(path) as f:
+        raw = yaml.safe_load(f)
+    model = raw.get("MODEL", {})
+    extra = model.get("EXTRA", {})
+
+    def stage(name):
+        sd = extra.get(name)
+        if sd is None:
+            raise ValueError(f"{path}: MODEL.EXTRA.{name} missing")
+        block = str(sd.get("BLOCK", "BASIC")).upper()
+        if block != "BASIC":
+            raise NotImplementedError(
+                f"{path}: MODEL.EXTRA.{name}.BLOCK={block!r} — stages 2-4 "
+                "use BasicBlock in every released HRNet pose config")
+        return (int(sd["NUM_MODULES"]), int(sd["NUM_BRANCHES"]),
+                tuple(int(b) for b in sd["NUM_BLOCKS"]),
+                tuple(int(c) for c in sd["NUM_CHANNELS"]))
+
+    return HRNetConfig(
+        num_joints=int(model.get("NUM_JOINTS", 17)),
+        stage2=stage("STAGE2"),
+        stage3=stage("STAGE3"),
+        stage4=stage("STAGE4"),
+        image_size=tuple(int(v) for v in model.get("IMAGE_SIZE", (288, 384))),
+    )
+
+
 def _conv_bn_init(key, c_in, c_out, k, bias=False):
     kc, _ = jax.random.split(key)
     p = {"conv": L.conv2d_init(kc, c_in, c_out, k, k, bias=bias)}

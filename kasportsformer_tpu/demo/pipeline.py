@@ -108,13 +108,19 @@ def gen_video_kpts(frames: list[np.ndarray], yolo_model, yolo_params,
 def run_demo(video_path: str, output_dir: str, config_path: str,
              checkpoint_path: str, yolo_cfg: str, yolo_weights: str,
              hrnet_weights: str, elev: float = 5, azim: float = 5,
-             num_person: int = 1) -> None:
-    """Full five-stage demo (`demo/demo.py:345-349`)."""
+             num_person: int = 1, hrnet_cfg: str | None = None) -> None:
+    """Full five-stage demo (`demo/demo.py:345-349`). `hrnet_cfg` optionally
+    points at a reference yacs experiment yaml to select a non-w48 HRNet
+    layout (≙ the reference's `--cfg` / `demo/lib/hrnet/lib/config`)."""
     import cv2
     import jax
 
     from kasportsformer_tpu.config import load_config
-    from kasportsformer_tpu.demo.hrnet import HRNet, hrnet_state_dict_to_params
+    from kasportsformer_tpu.demo.hrnet import (
+        HRNet,
+        hrnet_config_from_yaml,
+        hrnet_state_dict_to_params,
+    )
     from kasportsformer_tpu.demo.lifting import lift_keypoints
     from kasportsformer_tpu.demo.rendering import (
         compose_demo_figures,
@@ -132,11 +138,12 @@ def run_demo(video_path: str, output_dir: str, config_path: str,
     # stage 1: 2D detection
     yolo = YoloV3(yolo_cfg)
     yolo_params = yolo.load_darknet_weights(yolo_weights)
-    hrnet = HRNet()
+    hcfg = hrnet_config_from_yaml(hrnet_cfg) if hrnet_cfg else None
+    hrnet = HRNet(hcfg)
     import torch
 
     hrnet_sd = torch.load(hrnet_weights, map_location="cpu", weights_only=False)
-    hrnet_params, hrnet_state = hrnet_state_dict_to_params(hrnet_sd)
+    hrnet_params, hrnet_state = hrnet_state_dict_to_params(hrnet_sd, hcfg)
     kpts, scores = gen_video_kpts(frames, yolo, yolo_params, hrnet, hrnet_params,
                                   hrnet_state, num_person=num_person)
     kpts, scores, _ = h36m_format(kpts, scores)
