@@ -51,7 +51,7 @@ from kasportsformer_tpu.train.losses import (
     n_mpjpe_loss,
     velocity_loss,
 )
-from kasportsformer_tpu.utils.common import AverageMeter, get_logger
+from kasportsformer_tpu.utils.common import get_logger
 
 
 # ------------------------------------------------------------ weighted loss
@@ -306,10 +306,16 @@ class Trainer:
                 lr = wu
             set_learning_rate(opt_state, lr)
 
-            meters: dict[str, AverageMeter] = {}
             plan = epoch_plan(self.n_train, config.batch_size, self.rng)
             epoch_key = jax.random.fold_in(root_key, epoch)
             t0 = time.time()
+            # Loss components accumulate ON DEVICE across the epoch (a few
+            # scalar adds per step, all async) and cross the host boundary
+            # once per epoch. The reference — and round 1 here — fetched
+            # every component every step (~30 ms/sync through a TPU tunnel,
+            # `train_and_evaluate_sp.py:224-239`).
+            totals: dict[str, jnp.ndarray] | None = None
+            n_total = 0
             for s in range(plan.steps):
                 step_key = jax.random.fold_in(epoch_key, s)
                 params, state, opt_state, comps = self.train_step(
@@ -317,9 +323,15 @@ class Trainer:
                     self.train_arrays,
                     self._shard_batch(jnp.asarray(plan.indices[s])),
                     self._shard_batch(jnp.asarray(plan.weights[s])), step_key)
-                n_real = int(plan.weights[s].sum())
-                for k, value in comps.items():
-                    meters.setdefault(k, AverageMeter()).update(float(value), n_real)
+                n_real = float(plan.weights[s].sum())  # host-side plan array
+                n_total += n_real
+                if totals is None:
+                    totals = {k: v * n_real for k, v in comps.items()}
+                else:
+                    totals = {k: totals[k] + comps[k] * n_real
+                              for k, v in comps.items()}
+            loss_avgs = {k: float(v) / max(n_total, 1.0)
+                         for k, v in (totals or {}).items()}  # one epoch sync
             train_time = time.time() - t0
 
             result = self.evaluator.run(params, state)
@@ -327,7 +339,7 @@ class Trainer:
             self.log.info(
                 f"epoch {epoch + 1}: MPJPE {mpjpe} mm  P-MPJPE {result['p_mpjpe']} mm  "
                 f"accel {result['acceleration_error']}  "
-                f"loss {meters['loss_total'].avg:.5f}  "
+                f"loss {loss_avgs.get('loss_total', float('nan')):.5f}  "
                 f"({plan.steps} steps in {train_time:.1f}s)")
 
             improved = mpjpe < min_mpjpe
@@ -342,7 +354,7 @@ class Trainer:
             self._save(params, state, opt_state, scheduler, epoch, lr,
                        min_mpjpe, tag="latest")
 
-            self._log_metrics(epoch, lr, meters, result, min_mpjpe)
+            self._log_metrics(epoch, lr, loss_avgs, result, min_mpjpe)
 
             # scheduler steps only after warmup (`:393-397`)
             if not config.warmup or epoch > config.warmup_epoches:
@@ -357,12 +369,12 @@ class Trainer:
         return params, state, {"min_mpjpe": min_mpjpe, "best_epoch": best_epoch}
 
     # -- helpers ---------------------------------------------------------
-    def _log_metrics(self, epoch, lr, meters, result, min_mpjpe):
+    def _log_metrics(self, epoch, lr, loss_avgs, result, min_mpjpe):
         payload = {
             "learning_rate": lr,
             # the reference's four keys always present; limb-loss keys join
             # when their lambdas are nonzero
-            **{f"train/{k}": meter.avg for k, meter in meters.items()},
+            **{f"train/{k}": v for k, v in loss_avgs.items()},
             "eval/mpjpe": result["mpjpe"],
             "eval/p-mpjpe": result["p_mpjpe"],
             "eval/min_mpjpe": min_mpjpe,
