@@ -23,11 +23,17 @@ matches the reference recipe and converted torch checkpoints drop in.
 from __future__ import annotations
 
 import math
+import os
 from typing import Any
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# temporal-GCN aggregation backend on TPU: "xla" (default) or "fused"
+# (Pallas folded kernel — measured slightly SLOWER in-model: 457 vs 433 ms
+# full-forward at batch 256, see docs/ROUND_NOTES.md).
+_GCN_IMPL = os.environ.get("KASF_GCN_IMPL", "xla")
 
 Params = dict[str, Any]
 
@@ -321,6 +327,14 @@ def gcn(p: Params, state: Params, x: jnp.ndarray, mode: str, train: bool,
         if static_temporal_adj is not None:
             norm_adj = normalize_adjacency(static_temporal_adj).astype(x.dtype)
             agg = jnp.einsum("ts,nsc->ntc", norm_adj, linear(p["V"], tokens))
+        elif jax.default_backend() == "tpu" and _GCN_IMPL == "fused":
+            # fused Pallas kernel: FOLD sequences per grid step, one big
+            # similarity dot + one big aggregation dot (ops/gcn.py) instead
+            # of B*J pairs of (T,C)@(C,T) micro-dots
+            from kasportsformer_tpu.ops.gcn import dynamic_gcn_aggregate
+
+            agg = dynamic_gcn_aggregate(tokens, linear(p["V"], tokens),
+                                        neighbour_num)
         else:
             sim = jnp.einsum("ntc,nsc->nts", tokens, tokens)
             # k-th largest via iterative max (VPU) — lax.top_k costs ~20x

@@ -110,3 +110,78 @@ def test_masked_sdpa_is_differentiable():
     grad = jax.grad(loss)(q)
     assert grad.shape == q.shape
     assert np.isfinite(np.asarray(grad)).all()
+
+
+def test_folded_sdpa_pallas_interpret_matches_xla():
+    """Folded-group kernel (FOLD groups per dot-triplet, head-masked M
+    expansion) must match the XLA formulation, incl. the G-padding path."""
+    from kasportsformer_tpu.ops.attention import folded_sdpa_pallas
+
+    for (b, g, n, c, h, fold) in [(2, 27, 17, 128, 8, 9),
+                                  (2, 17, 27, 128, 8, 6),  # pads 17 -> 18
+                                  (1, 5, 17, 64, 4, 2),
+                                  (2, 27, 17, 128, 8, None)]:
+        q = RNG.standard_normal((b, g, n, c)).astype(np.float32)
+        k = RNG.standard_normal((b, g, n, c)).astype(np.float32)
+        v = RNG.standard_normal((b, g, n, c)).astype(np.float32)
+        scale = (c // h) ** -0.5
+        want = np.asarray(masked_sdpa_xla(jnp.asarray(q), jnp.asarray(k),
+                                          jnp.asarray(v), scale, h))
+        got = np.asarray(folded_sdpa_pallas(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), scale, h,
+            fold=fold, interpret=True))
+        np.testing.assert_allclose(got, want, atol=1e-4,
+                                   err_msg=f"fold={fold} g={g}")
+
+
+def test_folded_sdpa_bwd_pallas_interpret_matches_xla_vjp():
+    """Folded backward kernel vs jax.vjp of the XLA formulation."""
+    from kasportsformer_tpu.ops.attention import folded_sdpa_bwd_pallas
+
+    for (b, g0, n, c, h, fold) in [(2, 27, 17, 128, 8, 9),
+                                   (2, 17, 27, 64, 4, 6),  # pads 17 -> 18
+                                   (1, 6, 17, 64, 4, None)]:
+        q, k, v, g = (jnp.asarray(RNG.standard_normal((b, g0, n, c)),
+                                  jnp.float32) for _ in range(4))
+        scale = (c // h) ** -0.5
+        _, vjp = jax.vjp(
+            lambda a, bb, cc: masked_sdpa_xla(a, bb, cc, scale, h), q, k, v)
+        want = vjp(g)
+        got = folded_sdpa_bwd_pallas(q, k, v, g, scale, h, fold=fold,
+                                     interpret=True)
+        for w, gt, name in zip(want, got, ("dq", "dk", "dv")):
+            np.testing.assert_allclose(np.asarray(gt), np.asarray(w),
+                                       atol=2e-4, err_msg=f"{name} fold={fold}")
+
+
+def test_gcn_dynamic_aggregate_interpret_matches_jnp():
+    """Fused dynamic-GCN kernel (fwd + custom VJP) vs the jnp formulation
+    in layers.gcn temporal mode."""
+    from kasportsformer_tpu.ops.gcn import dynamic_gcn_aggregate
+
+    def ref_agg(tokens, vxx, k=4):
+        sim = jnp.einsum("ntc,nsc->nts", tokens, tokens)
+        s = sim.astype(jnp.float32)
+        for _ in range(k - 1):
+            m = jnp.max(s, axis=-1, keepdims=True)
+            s = jnp.where(s >= m, -jnp.inf, s)
+        kth = jnp.max(s, axis=-1, keepdims=True).astype(sim.dtype)
+        adj = (sim >= kth).astype(tokens.dtype)
+        dinv = jnp.sum(adj, -1) ** -0.5
+        return jnp.einsum("nts,nsc->ntc",
+                          adj * dinv[..., :, None] * dinv[..., None, :], vxx)
+
+    for m, t, c, fold in [(16, 27, 128, 8), (7, 27, 32, 4), (10, 13, 64, None)]:
+        tokens = jnp.asarray(RNG.standard_normal((m, t, c)), jnp.float32)
+        vx = jnp.asarray(RNG.standard_normal((m, t, c)), jnp.float32)
+        want = np.asarray(ref_agg(tokens, vx))
+        got = np.asarray(dynamic_gcn_aggregate(tokens, vx, 4, fold, True))
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+        gr = jax.grad(lambda tk, vv: jnp.sum(
+            jnp.sin(ref_agg(tk, vv))), argnums=(0, 1))(tokens, vx)
+        gk = jax.grad(lambda tk, vv: jnp.sum(
+            jnp.sin(dynamic_gcn_aggregate(tk, vv, 4, fold, True))),
+            argnums=(0, 1))(tokens, vx)
+        for a, b2 in zip(gr, gk):
+            np.testing.assert_allclose(np.asarray(b2), np.asarray(a), atol=1e-4)
