@@ -18,7 +18,16 @@ BASELINE_CLIPS_PER_SEC = 1.67
 
 
 def main() -> int:
+    import os
+
     import jax
+
+    # persistent compile cache: first-compile through the TPU tunnel runs
+    # minutes; cached reruns are seconds
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/kasf_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
     import numpy as np
 
@@ -33,18 +42,29 @@ def main() -> int:
     fwd = jax.jit(lambda p, s, x: model.apply(p, s, x, train=False)[0])
     rng = np.random.default_rng(0)
 
+    # batch sweep: per-clip cost is near-flat 32..256 and degrades above
+    # (VMEM-resident fusions spill at larger batches — measured round 2);
+    # 1024 kept to report the scaling curve
     best = 0.0
     best_batch = None
-    for batch in (256, 1024, 4096):
+    for batch in (64, 128, 256, 1024):
         x = jnp.asarray(rng.standard_normal((batch, 27, 17, 3)), jnp.float32)
         try:
-            fwd(params, state, x).block_until_ready()  # compile + warm
-            times = []
-            for _ in range(5):
-                t0 = time.perf_counter()
-                fwd(params, state, x).block_until_ready()
-                times.append(time.perf_counter() - t0)
-            cps = batch / min(times)
+            # block_until_ready is a no-op through the axon tunnel; sync by
+            # fetching a scalar
+            float(jnp.sum(fwd(params, state, x)))  # compile + warm
+            # throughput protocol: dispatch N batches back-to-back, one sync
+            # at the end (a per-batch sync costs ~30 ms through the tunnel
+            # and is not part of a pipelined serving path)
+            n_iter = 8
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(n_iter):
+                out = fwd(params, state, x)
+            float(jnp.sum(out))
+            elapsed = (time.perf_counter() - t0) / n_iter
+            cps = batch / elapsed
+            times = [elapsed]
             print(f"batch {batch}: {cps:,.0f} clips/s "
                   f"({min(times)*1e3:.2f} ms/batch)", file=sys.stderr)
             if cps > best:
@@ -73,17 +93,20 @@ def main() -> int:
         # thread the donated pytrees through (the step donates its inputs)
         params_t, state_t, opt_state_t, comps = step(
             params, state, opt_state, arrays, idx, w, jax.random.key(0))
-        float(comps["loss_total"])  # sync
-        times = []
-        for i in range(5):
-            t0 = time.perf_counter()
+        float(comps["loss_total"])  # sync (compile + warm)
+        # same pipelined protocol as inference: the Trainer keeps loss
+        # components on device across the epoch, so steps dispatch
+        # back-to-back with no per-step host sync
+        n_iter = 5
+        t0 = time.perf_counter()
+        for i in range(n_iter):
             params_t, state_t, opt_state_t, comps = step(
                 params_t, state_t, opt_state_t, arrays, idx, w,
                 jax.random.key(i))
-            float(comps["loss_total"])
-            times.append(time.perf_counter() - t0)
-        print(f"train step (batch 256): {256 / min(times):,.0f} clips/s "
-              f"({min(times) * 1e3:.1f} ms/step)", file=sys.stderr)
+        float(comps["loss_total"])
+        step_t = (time.perf_counter() - t0) / n_iter
+        print(f"train step (batch 256): {256 / step_t:,.0f} clips/s "
+              f"({step_t * 1e3:.1f} ms/step)", file=sys.stderr)
     except Exception as e:
         print(f"train-step bench skipped: {type(e).__name__}: {e}",
               file=sys.stderr)

@@ -216,6 +216,9 @@ class KASportsFormerConfig:
     neighbour_num: int = 4
     temporal_connection_len: int = 1
     hierarchical: bool = False
+    # trunk lax.scan unroll factor: >1 lets XLA fuse across layer
+    # boundaries at the cost of compile time (1 = fully rolled)
+    scan_unroll: int = 1
 
 
 class KASportsFormer:
@@ -296,7 +299,8 @@ class KASportsFormer:
             return out, new_state
 
         x, new_layer_states = jax.lax.scan(
-            body, x, (params["layers"], state["layers"], is_first))
+            body, x, (params["layers"], state["layers"], is_first),
+            unroll=cfg.scan_unroll)
 
         x = L.layer_norm(params["norm"], x)
         x = jnp.tanh(L.linear(params["rep_logit"], x))
