@@ -290,7 +290,8 @@ class KASportsFormer:
         # only the cheap linears/norms.
         @functools.partial(
             jax.checkpoint,
-            policy=jax.checkpoint_policies.save_only_these_names("attn_core"))
+            policy=jax.checkpoint_policies.save_only_these_names(
+                "attn_core", "gcn_agg"))
         def body(carry, step):
             layer_params, layer_state, first = step
             bone_in = jnp.where(first, x_bone, carry)

@@ -29,6 +29,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.ad_checkpoint import checkpoint_name
 
 # temporal-GCN aggregation backend on TPU: "xla" (default) or "fused"
 # (Pallas folded kernel — measured slightly SLOWER in-model: 457 vs 433 ms
@@ -335,6 +336,7 @@ def gcn(p: Params, state: Params, x: jnp.ndarray, mode: str, train: bool,
 
             agg = dynamic_gcn_aggregate(tokens, linear(p["V"], tokens),
                                         neighbour_num)
+            agg = checkpoint_name(agg, "gcn_agg")
         else:
             sim = jnp.einsum("ntc,nsc->nts", tokens, tokens)
             # k-th largest via iterative max (VPU) — lax.top_k costs ~20x
@@ -349,6 +351,9 @@ def gcn(p: Params, state: Params, x: jnp.ndarray, mode: str, train: bool,
             adj = (sim >= kth).astype(x.dtype)  # (BJ, T, T)
             norm_adj = normalize_adjacency(adj)
             agg = jnp.einsum("nts,nsc->ntc", norm_adj, linear(p["V"], tokens))
+            # saved by the trunk's remat policy: the backward then skips
+            # recomputing the similarity/top-k adjacency build
+            agg = checkpoint_name(agg, "gcn_agg")
     else:
         raise ValueError(mode)
 
