@@ -146,6 +146,11 @@ def _sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
     if axis == "spatial":
         return _sdpa_tokens(q, k, v, scale, num_heads)
     if axis == "temporal":
+        # NOTE: a tokens-major kernel path exists (masked_sdpa_tm /
+        # swap_gn) that does this group/token swap inside the kernel in
+        # VMEM — measured SLOWER in-model (233 vs 202 ms fwd at batch 128;
+        # Mosaic's 4-D swapaxes costs more than the HBM transposes it
+        # saves), so the transpose path stays.
         qt = q.transpose(0, 2, 1, 3)
         kt = k.transpose(0, 2, 1, 3)
         vt = v.transpose(0, 2, 1, 3)

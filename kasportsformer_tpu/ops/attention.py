@@ -48,11 +48,26 @@ def _head_mask(c: int, num_heads: int) -> np.ndarray:
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, mask_k_ref, mask_v_ref, seg_ref,
-                 out_ref, *, scale: float, num_heads: int):
-    blk, g0, n0, c0 = q_ref.shape
-    q = q_ref[...].reshape(blk * g0, n0, c0)  # (G, N, C)
-    k = k_ref[...].reshape(blk * g0, n0, c0)
-    v = v_ref[...].reshape(blk * g0, n0, c0)
+                 out_ref, *, scale: float, num_heads: int,
+                 swap_gn: bool = False):
+    if swap_gn:
+        # block arrives (blk, N, G, C) — tokens-major, e.g. the model's
+        # (B, T, J, C) stream for TEMPORAL attention. The group/token swap
+        # happens here in VMEM instead of as 4 materialized HBM transposes
+        # around the kernel.
+        blk, n0, g0, c0 = q_ref.shape
+
+        def load(ref):
+            return jnp.swapaxes(ref[...], 1, 2).reshape(blk * g0, n0, c0)
+    else:
+        blk, g0, n0, c0 = q_ref.shape
+
+        def load(ref):
+            return ref[...].reshape(blk * g0, n0, c0)
+
+    q = load(q_ref)  # (G, N, C)
+    k = load(k_ref)
+    v = load(v_ref)
     h = num_heads
 
     # km: (G, C, H*N) — keys transposed, tiled over heads, masked in VMEM
@@ -78,20 +93,29 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_k_ref, mask_v_ref, seg_ref,
     out = jax.lax.dot_general(
         probs, vm, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
-    out_ref[...] = out.astype(out_ref.dtype).reshape(blk, g0, n0, c0)
+    out = out.astype(out_ref.dtype).reshape(blk, g0, n0, c0)
+    if swap_gn:
+        out = jnp.swapaxes(out, 1, 2)
+    out_ref[...] = out
 
 
 def masked_sdpa_pallas(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                        scale: float, num_heads: int, block_b: int = 1,
-                       interpret: bool = False) -> jnp.ndarray:
+                       interpret: bool = False,
+                       swap_gn: bool = False) -> jnp.ndarray:
     """q, k, v: (B, G, N, C) — attention over N, per (B, G). `block_b` batch
-    elements are processed per grid step to amortize per-step overhead."""
-    b, g, n, c = q.shape
+    elements are processed per grid step to amortize per-step overhead.
+    With `swap_gn` the inputs are (B, N, G, C) (tokens-major) and the
+    group/token swap happens inside the kernel in VMEM."""
+    if swap_gn:
+        b, n, g, c = q.shape
+    else:
+        b, g, n, c = q.shape
     h = num_heads
     while b % block_b:
         block_b //= 2
-    spec = pl.BlockSpec((block_b, g, n, c), lambda i: (i, 0, 0, 0),
-                        memory_space=pltpu.VMEM)
+    spec = pl.BlockSpec((block_b,) + q.shape[1:3] + (c,),
+                        lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
     mask = _head_mask(c, h)  # (C, H)
     # mask_k[c, i*n + j] = mask[c, i]; mask_v = mask_k.T
     mask_k = jnp.asarray(np.repeat(mask, n, axis=1), q.dtype)  # (C, H*N)
@@ -104,7 +128,8 @@ def masked_sdpa_pallas(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     seg_spec = pl.BlockSpec((h * n, h * n), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale, num_heads=num_heads),
+        functools.partial(_attn_kernel, scale=scale, num_heads=num_heads,
+                          swap_gn=swap_gn),
         grid=(b // block_b,),
         in_specs=[spec, spec, spec, mk_spec, mv_spec, seg_spec],
         out_specs=spec,
@@ -115,7 +140,7 @@ def masked_sdpa_pallas(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, mask_k_ref, mask_v_ref,
                      seg_ref, rep_ref, dq_ref, dk_ref, dv_ref, *,
-                     scale: float, num_heads: int):
+                     scale: float, num_heads: int, swap_gn: bool = False):
     """Backward of the masked attention, same VMEM expansions as forward.
 
     With P the per-head probs, the gradients in expanded (H*N) coordinates:
@@ -127,11 +152,21 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, mask_k_ref, mask_v_ref,
     where E (N, H*N) is the identity tiled across heads (a segment-collapse
     matmul) and SEG the block-diagonal ones used by the forward softmax.
     """
-    blk, g0, n0, c0 = q_ref.shape
-    q = q_ref[...].reshape(blk * g0, n0, c0)
-    k = k_ref[...].reshape(blk * g0, n0, c0)
-    v = v_ref[...].reshape(blk * g0, n0, c0)
-    g = g_ref[...].reshape(blk * g0, n0, c0)
+    if swap_gn:
+        blk, n0, g0, c0 = q_ref.shape
+
+        def load(ref):
+            return jnp.swapaxes(ref[...], 1, 2).reshape(blk * g0, n0, c0)
+    else:
+        blk, g0, n0, c0 = q_ref.shape
+
+        def load(ref):
+            return ref[...].reshape(blk * g0, n0, c0)
+
+    q = load(q_ref)
+    k = load(k_ref)
+    v = load(v_ref)
+    g = load(g_ref)
     h = num_heads
     f32 = jnp.float32
 
@@ -182,16 +217,25 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, mask_k_ref, mask_v_ref,
                              preferred_element_type=f32)
     dk = jnp.swapaxes(dk, 0, 1)
 
-    dq_ref[...] = dq.astype(dq_ref.dtype).reshape(blk, g0, n0, c0)
-    dk_ref[...] = dk.astype(dk_ref.dtype).reshape(blk, g0, n0, c0)
-    dv_ref[...] = dv.astype(dv_ref.dtype).reshape(blk, g0, n0, c0)
+    def store(ref, z):
+        z = z.astype(ref.dtype).reshape(blk, g0, n0, c0)
+        if swap_gn:
+            z = jnp.swapaxes(z, 1, 2)
+        ref[...] = z
+
+    store(dq_ref, dq)
+    store(dk_ref, dk)
+    store(dv_ref, dv)
 
 
 def masked_sdpa_bwd_pallas(q, k, v, g, scale: float, num_heads: int,
-                           interpret: bool = False):
-    b, g0, n, c = q.shape
+                           interpret: bool = False, swap_gn: bool = False):
+    if swap_gn:
+        b, n, g0, c = q.shape
+    else:
+        b, g0, n, c = q.shape
     h = num_heads
-    spec = pl.BlockSpec((1, g0, n, c), lambda i: (i, 0, 0, 0),
+    spec = pl.BlockSpec((1,) + q.shape[1:3] + (c,), lambda i: (i, 0, 0, 0),
                         memory_space=pltpu.VMEM)
     mask = _head_mask(c, h)
     mask_k = jnp.asarray(np.repeat(mask, n, axis=1), q.dtype)
@@ -206,7 +250,8 @@ def masked_sdpa_bwd_pallas(q, k, v, g, scale: float, num_heads: int,
 
     out_shape = [jax.ShapeDtypeStruct(q.shape, q.dtype)] * 3
     return pl.pallas_call(
-        functools.partial(_attn_bwd_kernel, scale=scale, num_heads=num_heads),
+        functools.partial(_attn_bwd_kernel, scale=scale, num_heads=num_heads,
+                          swap_gn=swap_gn),
         grid=(b,),
         in_specs=[spec, spec, spec, spec, cspec(mask_k), cspec(mask_v),
                   cspec(seg), cspec(rep)],
@@ -505,3 +550,41 @@ def _masked_sdpa_bwd(scale, num_heads, residuals, g):
 
 
 masked_sdpa.defvjp(_masked_sdpa_fwd, _masked_sdpa_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def masked_sdpa_tm(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                   scale: float, num_heads: int) -> jnp.ndarray:
+    """Tokens-major variant: q, k, v (B, N, G, C), attention over N (axis 1)
+    per (B, G) — the model's TEMPORAL attention on its natural (B, T, J, C)
+    layout. On TPU the group/token swap happens inside the Pallas kernel in
+    VMEM; the jnp fallback transposes in HBM. Measured SLOWER than the
+    transpose-outside path in-model (233 vs 202 ms fwd at batch 128), so
+    the model does not use it by default — kept as a tested capability."""
+    if (jax.default_backend() == "tpu" and q.ndim == 4
+            and q.shape[-1] % num_heads == 0 and ATTN_IMPL != "xla"):
+        return masked_sdpa_pallas(q, k, v, scale, num_heads, swap_gn=True)
+    qt, kt, vt = (z.transpose(0, 2, 1, 3) for z in (q, k, v))
+    return masked_sdpa_xla(qt, kt, vt, scale, num_heads).transpose(0, 2, 1, 3)
+
+
+def _masked_sdpa_tm_fwd(q, k, v, scale, num_heads):
+    return masked_sdpa_tm(q, k, v, scale, num_heads), (q, k, v)
+
+
+def _masked_sdpa_tm_bwd(scale, num_heads, residuals, g):
+    q, k, v = residuals
+    if (jax.default_backend() == "tpu" and q.ndim == 4
+            and q.shape[-1] % num_heads == 0 and ATTN_IMPL != "xla"):
+        return masked_sdpa_bwd_pallas(q, k, v, g, scale, num_heads,
+                                      swap_gn=True)
+
+    def f(a, b, c):
+        at, bt, ct = (z.transpose(0, 2, 1, 3) for z in (a, b, c))
+        return masked_sdpa_xla(at, bt, ct, scale, num_heads).transpose(0, 2, 1, 3)
+
+    _, vjp = jax.vjp(f, q, k, v)
+    return vjp(g)
+
+
+masked_sdpa_tm.defvjp(_masked_sdpa_tm_fwd, _masked_sdpa_tm_bwd)

@@ -185,3 +185,52 @@ def test_gcn_dynamic_aggregate_interpret_matches_jnp():
             argnums=(0, 1))(tokens, vx)
         for a, b2 in zip(gr, gk):
             np.testing.assert_allclose(np.asarray(b2), np.asarray(a), atol=1e-4)
+
+
+def test_masked_sdpa_swap_gn_matches_transposed():
+    """Tokens-major (swap_gn) kernel path == transpose + normal kernel, fwd
+    and bwd — the model's temporal attention runs this way on TPU to avoid
+    4 materialized HBM transposes per call."""
+    from kasportsformer_tpu.ops.attention import (
+        masked_sdpa_bwd_pallas,
+        masked_sdpa_pallas,
+    )
+
+    b, t, j, c, h = 2, 27, 17, 64, 4
+    q, k, v, g = (jnp.asarray(RNG.standard_normal((b, t, j, c)), jnp.float32)
+                  for _ in range(4))
+    scale = (c // h) ** -0.5
+    want = masked_sdpa_pallas(
+        *[z.transpose(0, 2, 1, 3) for z in (q, k, v)], scale, h,
+        interpret=True).transpose(0, 2, 1, 3)
+    got = masked_sdpa_pallas(q, k, v, scale, h, interpret=True, swap_gn=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    wq, wk, wv = masked_sdpa_bwd_pallas(
+        *[z.transpose(0, 2, 1, 3) for z in (q, k, v, g)], scale, h,
+        interpret=True)
+    got_b = masked_sdpa_bwd_pallas(q, k, v, g, scale, h, interpret=True,
+                                   swap_gn=True)
+    for w, gt in zip((wq, wk, wv), got_b):
+        np.testing.assert_allclose(np.asarray(gt),
+                                   np.asarray(w.transpose(0, 2, 1, 3)),
+                                   atol=1e-5)
+
+
+def test_masked_sdpa_tm_cpu_fallback_matches():
+    """masked_sdpa_tm on CPU (transpose + XLA path) == manual transpose."""
+    from kasportsformer_tpu.ops.attention import masked_sdpa_tm
+
+    b, t, j, c, h = 2, 9, 17, 64, 4
+    q, k, v = (jnp.asarray(RNG.standard_normal((b, t, j, c)), jnp.float32)
+               for _ in range(3))
+    scale = (c // h) ** -0.5
+    want = masked_sdpa_xla(*[z.transpose(0, 2, 1, 3) for z in (q, k, v)],
+                           scale, h).transpose(0, 2, 1, 3)
+    got = masked_sdpa_tm(q, k, v, scale, h)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    # differentiable through the custom VJP
+    gr = jax.grad(lambda a: jnp.sum(jnp.sin(
+        masked_sdpa_tm(a, k, v, scale, h))))(q)
+    assert bool(jnp.isfinite(gr).all())
