@@ -151,7 +151,9 @@ class Config:
     mesh_data: int = -1  # data-parallel axis size; -1 = all devices
     mesh_model: int = 1  # tensor-parallel axis size
     use_pallas: bool = True  # use Pallas kernels where available (TPU only)
-    eval_batch_size: int = 0  # 0 = use batch_size
+    eval_batch_size: int = 128  # measured single-chip throughput sweet
+    # spot (docs/ROUND_NOTES.md); batching never changes eval results
+    # (per-clip metrics, padded remainder masked). 0 = use batch_size.
 
     # populated by the loader
     config_name: str = ""
