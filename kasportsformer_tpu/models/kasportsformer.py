@@ -160,7 +160,9 @@ def trunk_layer_init(key: jax.Array, cfg: "KASportsFormerConfig"
 def trunk_layer_apply(p: Params, state: Params, x: jnp.ndarray,
                       bone_in: jnp.ndarray, x_limb: jnp.ndarray,
                       cfg: "KASportsFormerConfig", train: bool,
-                      spatial_norm_adj: jnp.ndarray) -> tuple[jnp.ndarray, Params]:
+                      spatial_norm_adj: jnp.ndarray,
+                      static_temporal_adj: jnp.ndarray | None = None
+                      ) -> tuple[jnp.ndarray, Params]:
     """x_attn/x_graph from the fused stream, x_bone from `bone_in` cross-
     attending to the limb stream; adaptive 3-way fusion
     (≙ `model/KASportsFormer.py:268-286`)."""
@@ -169,6 +171,7 @@ def trunk_layer_apply(p: Params, state: Params, x: jnp.ndarray,
             p[name], st if st is not None else {}, inp, mixer, mode,
             cfg.num_heads, train, x_limb=limb, qk_scale=cfg.qkv_scale,
             spatial_norm_adj=spatial_norm_adj, neighbour_num=cfg.neighbour_num,
+            static_temporal_adj=static_temporal_adj,
             use_layer_scale=cfg.use_layer_scale)
 
     x_attn, _ = fm("att_spatial", "attention", "spatial", x)
@@ -236,6 +239,13 @@ class KASportsFormer:
         dinv = adj.sum(-1) ** -0.5
         # numpy on purpose: becomes a folded constant under jit
         self.spatial_norm_adj = (adj * dinv[:, None] * dinv[None, :]).astype(np.float32)
+        # use_temporal_similarity=False switches the temporal GCN to the
+        # reference's static banded frame adjacency
+        # (`model/modules/graph.py:43-44,63-75`)
+        self.static_temporal_adj = (
+            None if self.cfg.use_temporal_similarity
+            else L.temporal_adjacency(self.cfg.n_frames,
+                                      self.cfg.temporal_connection_len))
 
     # -- init ----------------------------------------------------------
     def init(self, key: jax.Array) -> tuple[Params, Params]:
@@ -282,6 +292,7 @@ class KASportsFormer:
         # (`model/KASportsFormer.py:332-336`).
         is_first = jnp.arange(cfg.n_layers) == 0
         adj = self.spatial_norm_adj
+        t_adj = self.static_temporal_adj
 
         # remat the layer body: without it the scan saves every layer's
         # activations for backward (26 x (B,27,17,512) MLP temps = ~9 GB at
@@ -296,7 +307,8 @@ class KASportsFormer:
             layer_params, layer_state, first = step
             bone_in = jnp.where(first, x_bone, carry)
             out, new_state = trunk_layer_apply(
-                layer_params, layer_state, carry, bone_in, x_limb, cfg, train, adj)
+                layer_params, layer_state, carry, bone_in, x_limb, cfg, train,
+                adj, static_temporal_adj=t_adj)
             return out, new_state
 
         x, new_layer_states = jax.lax.scan(

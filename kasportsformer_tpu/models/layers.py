@@ -288,6 +288,18 @@ def batch_norm_nodes(p: Params, state: Params, x: jnp.ndarray, train: bool,
     return y.astype(x.dtype), new_state
 
 
+def temporal_adjacency(n_frames: int, connection_len: int = 1) -> np.ndarray:
+    """Static temporal adjacency: frame i connects to itself and the next
+    `connection_len` frames (no wraparound), the banded matrix the reference
+    builds in `model/modules/graph.py:63-75` (`_init_temporal_adj`) and uses
+    when `use_temporal_similarity=False` (`:104-116`). Pure numpy — a folded
+    constant under jit."""
+    adj = np.zeros((n_frames, n_frames), np.float32)
+    for i in range(n_frames):
+        adj[i, i : min(i + connection_len + 1, n_frames)] = 1.0
+    return adj
+
+
 def normalize_adjacency(adj: jnp.ndarray) -> jnp.ndarray:
     """Symmetric degree normalization D^-1/2 A D^-1/2 applied row-wise with
     the same broadcasting as `model/modules/graph.py:77-90` (the reference
@@ -418,6 +430,7 @@ def former_module(p: Params, state: Params, x: jnp.ndarray, mixer_type: str,
                   qk_scale: float | None = None,
                   spatial_norm_adj: jnp.ndarray | None = None,
                   neighbour_num: int = 4,
+                  static_temporal_adj: jnp.ndarray | None = None,
                   use_layer_scale: bool = True) -> tuple[jnp.ndarray, Params]:
     """x + LS1*mixer(LN(x)[, LN_limb(x_limb)]); x + LS2*MLP(LN(x))
     (≙ `model/KASportsFormer.py:103-118`; drop_path=0 in all configs).
@@ -436,6 +449,7 @@ def former_module(p: Params, state: Params, x: jnp.ndarray, mixer_type: str,
         mixed, new_state = gcn(
             p["mixer"], state, h, mode, train,
             spatial_norm_adj=spatial_norm_adj, neighbour_num=neighbour_num,
+            static_temporal_adj=static_temporal_adj,
         )
     elif mixer_type == "bone":
         h_limb = layer_norm(p["norm1_limb"], x_limb)

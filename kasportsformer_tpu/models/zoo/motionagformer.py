@@ -86,12 +86,14 @@ def _block_init(key, cfg: MotionAGFormerConfig) -> tuple[Params, Params]:
 
 def _block_apply(p: Params, state: Params, x: jnp.ndarray,
                  cfg: MotionAGFormerConfig, train: bool,
-                 spatial_norm_adj) -> tuple[jnp.ndarray, Params]:
+                 spatial_norm_adj,
+                 static_temporal_adj=None) -> tuple[jnp.ndarray, Params]:
     def former(name, mixer, mode, inp, st=None):
         return L.former_module(
             p[name], st if st is not None else {}, inp, mixer, mode,
             cfg.num_heads, train, qk_scale=cfg.qkv_scale,
             spatial_norm_adj=spatial_norm_adj, neighbour_num=cfg.neighbour_num,
+            static_temporal_adj=static_temporal_adj,
             use_layer_scale=cfg.use_layer_scale)
 
     if cfg.hierarchical:
@@ -115,7 +117,8 @@ def _block_apply(p: Params, state: Params, x: jnp.ndarray,
         else:
             x_graph, new_state["graph_temporal"] = L.gcn(
                 p["graph_temporal"], state["graph_temporal"], x_graph,
-                "temporal", train, neighbour_num=cfg.neighbour_num)
+                "temporal", train, neighbour_num=cfg.neighbour_num,
+                static_temporal_adj=static_temporal_adj)
     else:
         x_graph, new_state["graph_spatial"] = former(
             "graph_spatial", "graph", "spatial", graph_in,
@@ -143,6 +146,10 @@ class MotionAGFormer:
         adj = spatial_adjacency(self.cfg.num_joints)
         dinv = adj.sum(-1) ** -0.5
         self.spatial_norm_adj = (adj * dinv[:, None] * dinv[None, :]).astype(np.float32)
+        self.static_temporal_adj = (
+            None if self.cfg.use_temporal_similarity
+            else L.temporal_adjacency(self.cfg.n_frames,
+                                      self.cfg.temporal_connection_len))
 
     def init(self, key: jax.Array) -> tuple[Params, Params]:
         cfg = self.cfg
@@ -170,11 +177,13 @@ class MotionAGFormer:
         x = L.linear(params["joints_embed"], x) + params["pos_embed"].astype(x.dtype)
 
         adj = self.spatial_norm_adj
+        t_adj = self.static_temporal_adj
 
         def body(carry, step):
             layer_params, layer_state = step
             out, new_state = _block_apply(layer_params, layer_state, carry,
-                                          cfg, train, adj)
+                                          cfg, train, adj,
+                                          static_temporal_adj=t_adj)
             return out, new_state
 
         x, new_layer_states = jax.lax.scan(
