@@ -38,12 +38,16 @@ def _jax(config=None):
 
 def cmd_train(args: argparse.Namespace) -> int:
     jax = _jax()
+    from kasportsformer_tpu import parallel
     from kasportsformer_tpu.config import load_config
     from kasportsformer_tpu.data.clips import load_split
     from kasportsformer_tpu.models import build_model
     from kasportsformer_tpu.train.loop import Trainer
     from kasportsformer_tpu.utils.common import get_logger, seed_everything
 
+    # multi-host (DCN) hook — must run before any mesh/device use
+    parallel.maybe_init_distributed(
+        True if getattr(args, "distributed", False) else None)
     config = load_config(args.config_path)
     if config.eval_only:
         return cmd_evaluate(args)
@@ -142,7 +146,11 @@ def _wandb_sink(config, log):
 
 def cmd_evaluate(args: argparse.Namespace) -> int:
     jax = _jax()
+    from kasportsformer_tpu import parallel
     from kasportsformer_tpu.config import load_config
+
+    parallel.maybe_init_distributed(
+        True if getattr(args, "distributed", False) else None)
     from kasportsformer_tpu.data.clips import load_split
     from kasportsformer_tpu.models import build_model
     from kasportsformer_tpu.train import checkpoint as ckpt
@@ -420,10 +428,16 @@ def build_parser() -> argparse.ArgumentParser:
 
     p_train = sub.add_parser("train", help="train (or eval if eval_only)")
     p_train.add_argument("--config-path", required=True)
+    p_train.add_argument("--distributed", action="store_true",
+                         help="multi-host: jax.distributed.initialize before "
+                              "mesh construction (or set KASF_DISTRIBUTED=1)")
     p_train.set_defaults(fn=cmd_train)
 
     p_eval = sub.add_parser("evaluate", help="evaluate a checkpoint")
     p_eval.add_argument("--config-path", required=True)
+    p_eval.add_argument("--distributed", action="store_true",
+                        help="multi-host: jax.distributed.initialize before "
+                             "mesh construction (or set KASF_DISTRIBUTED=1)")
     p_eval.add_argument("--matmul-precision", default=None,
                         choices=["default", "high", "highest"])
     p_eval.add_argument("--checkpoint", default=None,

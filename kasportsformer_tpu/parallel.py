@@ -16,6 +16,7 @@ replaces it with a 2-D `jax.sharding.Mesh` ('data', 'model'):
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 import jax
@@ -24,6 +25,30 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+
+_distributed_initialized = False
+
+
+def maybe_init_distributed(enable: bool | None = None, **kwargs) -> bool:
+    """Multi-host (DCN) entry point (SURVEY §5.8).
+
+    Call BEFORE any mesh construction. `enable=None` reads the
+    `KASF_DISTRIBUTED` env var (unset/0/false -> off), so pod launchers can
+    turn it on without CLI plumbing; the CLI's `--distributed` flag passes
+    True explicitly. When on, delegates to `jax.distributed.initialize`,
+    which on TPU pods auto-discovers the coordinator from the TPU metadata
+    (kwargs pass through for manual coordinator_address/num_processes/
+    process_id setups). Single-host runs need no initialization — this is a
+    no-op unless enabled. Returns whether initialize() was called."""
+    global _distributed_initialized
+    if enable is None:
+        enable = os.environ.get("KASF_DISTRIBUTED", "").lower() not in (
+            "", "0", "false")
+    if not enable or _distributed_initialized:
+        return False
+    jax.distributed.initialize(**kwargs)
+    _distributed_initialized = True
+    return True
 
 
 def make_mesh(data: int = -1, model: int = 1,

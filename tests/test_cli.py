@@ -156,3 +156,36 @@ def test_resume_restores_training_state(workspace):
     meta = json.loads((ws / "ckpt" / "t_latest" / "meta.json").read_text())
     assert meta["epoch"] == 3  # continued from epoch 2 -> ran epoch 3 only
     assert meta["min_mpjpe"] > 0
+
+
+def test_distributed_flag_parses_and_reaches_hook(monkeypatch):
+    """--distributed parses on train/evaluate and routes into
+    `parallel.maybe_init_distributed` -> `jax.distributed.initialize`
+    (SURVEY §5.8 multi-host entry point). Single-host default is a no-op."""
+    import jax
+
+    from kasportsformer_tpu import parallel
+    from kasportsformer_tpu.cli import build_parser
+
+    parser = build_parser()
+    for cmd in ("train", "evaluate"):
+        ns = parser.parse_args([cmd, "--config-path", "x.yaml", "--distributed"])
+        assert ns.distributed is True
+        ns = parser.parse_args([cmd, "--config-path", "x.yaml"])
+        assert ns.distributed is False
+
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda **kw: calls.append(kw))
+    monkeypatch.setattr(parallel, "_distributed_initialized", False)
+    # off by default (no flag, no env)
+    monkeypatch.delenv("KASF_DISTRIBUTED", raising=False)
+    assert parallel.maybe_init_distributed(None) is False
+    assert calls == []
+    # env-driven
+    monkeypatch.setenv("KASF_DISTRIBUTED", "1")
+    assert parallel.maybe_init_distributed(None) is True
+    assert len(calls) == 1
+    # idempotent
+    assert parallel.maybe_init_distributed(True) is False
+    assert len(calls) == 1
