@@ -183,6 +183,33 @@ class D3DP:
         pred = self.denoise(params, x_2d[..., : cfg.in_chans], x, t)
         return pred, state
 
+    # ---------------- harness hooks ----------------
+    # The shared Trainer/Evaluator call these when a model defines them
+    # (train/loop.py, train/evaluator.py): D3DP's train forward needs the
+    # clean 3D target + a noise key, and its eval output carries DDIM-step
+    # and proposal axes that must reduce to one pose per clip. The reference
+    # wires only KASportsFormer into its harness and D3DP is driven by
+    # manual edits (`model/model_tools.py:93-94`); here the diffusion
+    # objective and the hypothesis reduction ride the standard loop.
+
+    def train_predict(self, params: Params, state: Params, x: jnp.ndarray,
+                      y: jnp.ndarray, key: jax.Array
+                      ) -> tuple[jnp.ndarray, Params]:
+        """Diffusion train forward: q-sample the target at a random timestep
+        and denoise (`diffusionpose.py:565-581`); the harness's standard
+        MPJPE-family loss against `y` then matches the reference D3DP's
+        training objective (MPJPE on the denoised pose)."""
+        return self.apply(params, state, x, x_3d=y, train=True, key=key)
+
+    def eval_predict(self, params: Params, state: Params, x: jnp.ndarray
+                     ) -> jnp.ndarray:
+        """Eval forward for the shared Evaluator: DDIM-sample (flip TTA
+        happens inside `sample` when configured) and reduce the proposal
+        axis by its mean at the final DDIM step — the consumer-side
+        reduction of `ddim_sample`'s (B, steps, H, F, N, 3) output."""
+        preds = self.sample(params, x)  # (B, steps, H, F, N, 3)
+        return preds[:, -1].mean(axis=1)
+
     # ---------------- DDIM eval path ----------------
     def sample(self, params: Params, x_2d: jnp.ndarray,
                key: jax.Array | None = None) -> jnp.ndarray:

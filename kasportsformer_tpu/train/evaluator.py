@@ -51,7 +51,13 @@ def denormalize_device(pred: jnp.ndarray, res: jnp.ndarray) -> jnp.ndarray:
 
 def tta_forward(model, params, state, x: jnp.ndarray, flip: bool) -> jnp.ndarray:
     """Flip test-time augmentation: mean of normal and mirrored predictions
-    (≙ `train_and_evaluate_sp.py:46-51`)."""
+    (≙ `train_and_evaluate_sp.py:46-51`).
+
+    Models with a bespoke eval forward (D3DP: DDIM sampling + proposal
+    reduction, with flip TTA already inside the sampler) define
+    `eval_predict(params, state, x)` and bypass the generic TTA."""
+    if hasattr(model, "eval_predict"):
+        return model.eval_predict(params, state, x)
     pred, _ = model.apply(params, state, x, train=False)
     if not flip:
         return pred

@@ -193,12 +193,17 @@ def make_train_step(model, config: Config, optimizer: optax.GradientTransformati
     # Zoo models with stochastic depth take a `key` kwarg in apply (e.g.
     # MixSTE/DSTFormer, ≙ reference dpr defaults `model/MixSTE.py:414`);
     # thread the step key through so drop-path actually runs in training.
+    # Models whose train forward needs the target too (D3DP's q-sample
+    # diffusion objective) define `train_predict(params, state, x, y, key)`.
     import inspect
 
     takes_key = "key" in inspect.signature(model.apply).parameters
+    has_train_predict = hasattr(model, "train_predict")
 
     def loss_fn(params, state, x, y, weights, key):
-        if takes_key:
+        if has_train_predict:
+            pred, new_state = model.train_predict(params, state, x, y, key)
+        elif takes_key:
             pred, new_state = model.apply(params, state, x, train=True, key=key)
         else:
             pred, new_state = model.apply(params, state, x, train=True)
