@@ -552,6 +552,54 @@ def _masked_sdpa_bwd(scale, num_heads, residuals, g):
 masked_sdpa.defvjp(_masked_sdpa_fwd, _masked_sdpa_bwd)
 
 
+def masked_sdpa_tp(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                   scale: float, num_heads: int, mesh,
+                   axis_name: str = "model",
+                   force_pallas_interpret: bool = False) -> jnp.ndarray:
+    """Tensor-parallel masked attention: q/k/v (B, G, N, C) with the channel
+    axis sharded over the mesh's `axis_name` ('model') axis.
+
+    Heads are embarrassingly parallel, and the head mask assigns channel c to
+    head c//D in contiguous blocks — so a contiguous C/tp channel shard holds
+    exactly H/tp complete heads. Each chip therefore runs the SAME kernel on
+    its local shard with `num_heads/tp` heads and no collectives at all; the
+    output inherits the input's channel sharding (the Megatron-style
+    all-reduce happens later, at the proj matmul, inserted by pjit from the
+    weight specs in `parallel.param_shardings`).
+
+    This replaces the pjit-propagation behavior around a bare `pallas_call`
+    (XLA all-gathers the operands to satisfy the kernel's replicated spec —
+    correct but bandwidth-wasteful). `force_pallas_interpret` runs the Pallas
+    kernel in interpret mode inside the shard (CPU-mesh testing of the real
+    TP x Pallas combination).
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    tp = mesh.shape[axis_name]
+    c = q.shape[-1]
+    if num_heads % tp or c % num_heads:
+        raise ValueError(f"heads {num_heads} not divisible by tp={tp}")
+    local_heads = num_heads // tp
+    spec = P(None, None, None, axis_name)
+
+    def local(ql, kl, vl):
+        if force_pallas_interpret:
+            return masked_sdpa_pallas(ql, kl, vl, scale, local_heads,
+                                      interpret=True)
+        return masked_sdpa(ql, kl, vl, scale, local_heads)
+
+    # check_vma must be off: pallas_call's out_shape carries no varying-mesh
+    # annotation (older jax spells the kwarg check_rep)
+    try:
+        wrapped = shard_map(local, mesh=mesh, in_specs=(spec, spec, spec),
+                            out_specs=spec, check_vma=False)
+    except TypeError:
+        wrapped = shard_map(local, mesh=mesh, in_specs=(spec, spec, spec),
+                            out_specs=spec, check_rep=False)
+    return wrapped(q, k, v)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def masked_sdpa_tm(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                    scale: float, num_heads: int) -> jnp.ndarray:
