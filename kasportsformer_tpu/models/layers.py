@@ -368,8 +368,11 @@ def gcn(p: Params, state: Params, x: jnp.ndarray, mode: str, train: bool,
             adj = (sim >= kth).astype(x.dtype)  # (BJ, T, T)
             norm_adj = normalize_adjacency(adj)
             agg = jnp.einsum("nts,nsc->ntc", norm_adj, linear(p["V"], tokens))
-            # saved by the trunk's remat policy: the backward then skips
-            # recomputing the similarity/top-k adjacency build
+            # saved by the trunk's remat policy: saving agg avoids re-running
+            # the similarity/top-k adjacency build when downstream
+            # activations are rematerialized (the aggregation einsum's own
+            # VJP still reads norm_adj, so the build is not skipped in the
+            # backward itself)
             agg = checkpoint_name(agg, "gcn_agg")
     else:
         raise ValueError(mode)

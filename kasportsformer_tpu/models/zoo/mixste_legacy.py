@@ -62,9 +62,16 @@ def prob_attention(p: Params, x: jnp.ndarray, num_heads: int,
 
     Shapes are static: U_part/u are Python ints from the token count, so the
     top-u query selection jits cleanly. The reference samples its key subset
-    with the global torch RNG at every forward; here the sample comes from
-    `key` (or can be pinned via `index_sample`, which the parity tests use).
+    with the global torch RNG at every forward; here callers MUST thread a
+    fresh `key` per call (or pin `index_sample`, as the parity tests do) —
+    a silent fixed-key default would reuse identical sample indices every
+    forward, unlike the reference.
     """
+    if key is None and index_sample is None:
+        raise ValueError(
+            "prob_attention needs `key` (fresh per forward) or an explicit "
+            "`index_sample`; the reference redraws from the global RNG each "
+            "call (`model/MixSTE.py:266`)")
     b, n, c = x.shape
     h = num_heads
     d = c // h
@@ -82,7 +89,6 @@ def prob_attention(p: Params, x: jnp.ndarray, num_heads: int,
     u = min(int(factor * math.ceil(math.log(l_q))), l_q)
 
     if index_sample is None:
-        key = jax.random.key(0) if key is None else key
         index_sample = jax.random.randint(key, (l_q, u_part), 0, l_k)
 
     # sampled scores -> sparsity measure M -> top-u queries (`_prob_QK`)

@@ -106,7 +106,7 @@ def main() -> int:
         "# Zoo TPU benchmark",
         "",
         f"Single chip ({dev}), bf16 compute (HDFormer f32), batch {b}, "
-        f"best of a {args.iters}-iteration scan loop. D3DP row is the DDIM",
+        f"mean over a {args.iters}-iteration scan loop. D3DP row is the DDIM",
         "sampling path (2 steps, 1 proposal); all others single forward.",
         "",
         "| Model | Params | ms/batch | clips/s |",
