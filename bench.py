@@ -36,15 +36,19 @@ def main() -> int:
     dev = jax.devices()[0]
     print(f"bench device: {dev}", file=sys.stderr)
 
+    from kasportsformer_tpu.utils.common import chunked_batch_apply
+
     model = KASportsFormer(compute_dtype=jnp.bfloat16)
     params, state = model.init(jax.random.key(0))
 
-    fwd = jax.jit(lambda p, s, x: model.apply(p, s, x, train=False)[0])
+    # batches above the measured sweet spot execute as a lax.map over
+    # 128-clip chunks inside the same jit (one dispatch), keeping per-clip
+    # cost on the flat part of the curve instead of spilling VMEM fusions
+    fwd = jax.jit(lambda p, s, x: chunked_batch_apply(
+        lambda xb: model.apply(p, s, xb, train=False)[0], x, 128))
     rng = np.random.default_rng(0)
 
-    # batch sweep: per-clip cost is near-flat 32..256 and degrades above
-    # (VMEM-resident fusions spill at larger batches — measured round 2);
-    # 1024 kept to report the scaling curve
+    # batch sweep; 1024 kept to report the scaling curve
     best = 0.0
     best_batch = None
     for batch in (64, 128, 256, 1024):

@@ -26,7 +26,7 @@ class LiftService:
     """Wraps a model + params with a fixed-batch jitted TTA forward."""
 
     def __init__(self, model, params, state, n_frames: int = 27,
-                 batch_size: int = 8, flip: bool = True):
+                 batch_size: int = 128, flip: bool = True):
         import jax
         import jax.numpy as jnp
 
@@ -139,7 +139,7 @@ def make_handler(service: LiftService, model_name: str, n_params: int):
 
 
 def serve(model, params, state, host: str = "127.0.0.1", port: int = 8000,
-          n_frames: int = 27, batch_size: int = 8, flip: bool = True,
+          n_frames: int = 27, batch_size: int = 128, flip: bool = True,
           model_name: str = "KASportsFormer") -> ThreadingHTTPServer:
     """Start the server (returns it; call .serve_forever() or use as a
     handle in tests)."""

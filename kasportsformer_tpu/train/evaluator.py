@@ -35,7 +35,7 @@ from kasportsformer_tpu.skeleton import (
     UPPER_BODY_JOINTS,
 )
 from kasportsformer_tpu.train import metrics as M
-from kasportsformer_tpu.utils.common import joint_flip
+from kasportsformer_tpu.utils.common import chunked_batch_apply, joint_flip
 
 
 def denormalize_device(pred: jnp.ndarray, res: jnp.ndarray) -> jnp.ndarray:
@@ -49,19 +49,33 @@ def denormalize_device(pred: jnp.ndarray, res: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([xy, z], axis=-1)
 
 
-def tta_forward(model, params, state, x: jnp.ndarray, flip: bool) -> jnp.ndarray:
+def tta_forward(model, params, state, x: jnp.ndarray, flip: bool,
+                chunk_size: int = 128) -> jnp.ndarray:
     """Flip test-time augmentation: mean of normal and mirrored predictions
     (≙ `train_and_evaluate_sp.py:46-51`).
+
+    The mirrored clips ride the SAME forward as one doubled batch
+    (`concat([x, flip(x)])`) instead of a second `model.apply` — half the
+    program launches, identical numerics (eval mode has no cross-batch
+    coupling: BN uses running stats, attention/GCN are per-clip). The
+    doubled batch executes as sweet-spot-sized chunks via
+    `chunked_batch_apply` so it never leaves the flat region of the
+    throughput curve.
 
     Models with a bespoke eval forward (D3DP: DDIM sampling + proposal
     reduction, with flip TTA already inside the sampler) define
     `eval_predict(params, state, x)` and bypass the generic TTA."""
     if hasattr(model, "eval_predict"):
         return model.eval_predict(params, state, x)
-    pred, _ = model.apply(params, state, x, train=False)
+
+    def fwd(xb):
+        return model.apply(params, state, xb, train=False)[0]
+
     if not flip:
-        return pred
-    pred_flip, _ = model.apply(params, state, joint_flip(x), train=False)
+        return chunked_batch_apply(fwd, x, chunk_size)
+    both = jnp.concatenate([x, joint_flip(x)], axis=0)
+    pred_both = chunked_batch_apply(fwd, both, chunk_size)
+    pred, pred_flip = jnp.split(pred_both, 2, axis=0)
     return (pred + joint_flip(pred_flip)) / 2
 
 

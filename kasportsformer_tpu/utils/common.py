@@ -87,3 +87,26 @@ def joint_flip(joints: jnp.ndarray) -> jnp.ndarray:
         return flipped[..., FLIP_PERM, :]
     flipped = joints.at[..., 0].multiply(-1)
     return jnp.take(flipped, jnp.asarray(FLIP_PERM), axis=-2)
+
+
+def chunked_batch_apply(fn, x: jnp.ndarray, chunk_size: int) -> jnp.ndarray:
+    """Run `fn` over axis-0 chunks of `x` inside one jitted program.
+
+    Large batches lose ~25% per-clip throughput on a v5e chip because the
+    VMEM-resident fusions of the flagship forward spill above ~128 clips
+    (measured round 2, docs/ROUND_NOTES.md); executing as a `lax.map` over
+    sweet-spot-sized chunks keeps every chunk at peak per-clip cost while
+    remaining a single dispatch. Inference-only by design: under `train=True`
+    the GCN batch-norm computes batch statistics, and per-chunk execution
+    would silently change them to per-chunk statistics.
+
+    Falls back to one unchunked call when the batch is at or under
+    `chunk_size`, when it does not divide evenly, or when chunking is
+    disabled (chunk_size <= 0).
+    """
+    b = x.shape[0]
+    if chunk_size <= 0 or b <= chunk_size or b % chunk_size:
+        return fn(x)
+    xs = x.reshape(b // chunk_size, chunk_size, *x.shape[1:])
+    ys = jax.lax.map(fn, xs)
+    return ys.reshape(b, *ys.shape[2:])
