@@ -23,18 +23,12 @@ matches the reference recipe and converted torch checkpoints drop in.
 from __future__ import annotations
 
 import math
-import os
 from typing import Any
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.ad_checkpoint import checkpoint_name
-
-# temporal-GCN aggregation backend on TPU: "xla" (default) or "fused"
-# (Pallas folded kernel — measured slightly SLOWER in-model: 457 vs 433 ms
-# full-forward at batch 256, see docs/ROUND_NOTES.md).
-_GCN_IMPL = os.environ.get("KASF_GCN_IMPL", "xla")
 
 Params = dict[str, Any]
 
@@ -146,11 +140,9 @@ def _sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
     if axis == "spatial":
         return _sdpa_tokens(q, k, v, scale, num_heads)
     if axis == "temporal":
-        # NOTE: a tokens-major kernel path exists (masked_sdpa_tm /
-        # swap_gn) that does this group/token swap inside the kernel in
-        # VMEM — measured SLOWER in-model (233 vs 202 ms fwd at batch 128;
-        # Mosaic's 4-D swapaxes costs more than the HBM transposes it
-        # saves), so the transpose path stays.
+        # the group/token swap happens as HBM transposes around the kernel
+        # on purpose: an in-kernel VMEM swap (tokens-major variant, retired
+        # round 3 — numbers in docs/ROUND_NOTES.md) measured slower.
         qt = q.transpose(0, 2, 1, 3)
         kt = k.transpose(0, 2, 1, 3)
         vt = v.transpose(0, 2, 1, 3)
@@ -345,15 +337,6 @@ def gcn(p: Params, state: Params, x: jnp.ndarray, mode: str, train: bool,
         if static_temporal_adj is not None:
             norm_adj = normalize_adjacency(static_temporal_adj).astype(x.dtype)
             agg = jnp.einsum("ts,nsc->ntc", norm_adj, linear(p["V"], tokens))
-        elif jax.default_backend() == "tpu" and _GCN_IMPL == "fused":
-            # fused Pallas kernel: FOLD sequences per grid step, one big
-            # similarity dot + one big aggregation dot (ops/gcn.py) instead
-            # of B*J pairs of (T,C)@(C,T) micro-dots
-            from kasportsformer_tpu.ops.gcn import dynamic_gcn_aggregate
-
-            agg = dynamic_gcn_aggregate(tokens, linear(p["V"], tokens),
-                                        neighbour_num)
-            agg = checkpoint_name(agg, "gcn_agg")
         else:
             sim = jnp.einsum("ntc,nsc->nts", tokens, tokens)
             # k-th largest via iterative max (VPU) — lax.top_k costs ~20x

@@ -31,10 +31,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# forward kernel selection: "grouped" (per-group masked-contraction kernel,
-# the default), "folded" (FOLD groups per dot-triplet — measured SLOWER
-# in-model: 615 vs 433 ms full-forward at batch 256 despite ~13x fewer MXU
-# ops, see docs/ROUND_NOTES.md), or "xla" (no Pallas).
+# kernel selection: "grouped" (the per-group masked-contraction Pallas
+# kernel, the default) or "xla" (no Pallas — debugging / non-TPU). Retired
+# variants (folded-group, tokens-major/swap_gn, fused former-module, fused
+# GCN) live in git history; their measured numbers are in
+# docs/ROUND_NOTES.md.
 ATTN_IMPL = os.environ.get("KASF_ATTN_IMPL", "grouped")
 
 
@@ -48,22 +49,11 @@ def _head_mask(c: int, num_heads: int) -> np.ndarray:
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, mask_k_ref, mask_v_ref, seg_ref,
-                 out_ref, *, scale: float, num_heads: int,
-                 swap_gn: bool = False):
-    if swap_gn:
-        # block arrives (blk, N, G, C) — tokens-major, e.g. the model's
-        # (B, T, J, C) stream for TEMPORAL attention. The group/token swap
-        # happens here in VMEM instead of as 4 materialized HBM transposes
-        # around the kernel.
-        blk, n0, g0, c0 = q_ref.shape
+                 out_ref, *, scale: float, num_heads: int):
+    blk, g0, n0, c0 = q_ref.shape
 
-        def load(ref):
-            return jnp.swapaxes(ref[...], 1, 2).reshape(blk * g0, n0, c0)
-    else:
-        blk, g0, n0, c0 = q_ref.shape
-
-        def load(ref):
-            return ref[...].reshape(blk * g0, n0, c0)
+    def load(ref):
+        return ref[...].reshape(blk * g0, n0, c0)
 
     q = load(q_ref)  # (G, N, C)
     k = load(k_ref)
@@ -93,24 +83,15 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_k_ref, mask_v_ref, seg_ref,
     out = jax.lax.dot_general(
         probs, vm, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
-    out = out.astype(out_ref.dtype).reshape(blk, g0, n0, c0)
-    if swap_gn:
-        out = jnp.swapaxes(out, 1, 2)
-    out_ref[...] = out
+    out_ref[...] = out.astype(out_ref.dtype).reshape(blk, g0, n0, c0)
 
 
 def masked_sdpa_pallas(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                        scale: float, num_heads: int, block_b: int = 1,
-                       interpret: bool = False,
-                       swap_gn: bool = False) -> jnp.ndarray:
+                       interpret: bool = False) -> jnp.ndarray:
     """q, k, v: (B, G, N, C) — attention over N, per (B, G). `block_b` batch
-    elements are processed per grid step to amortize per-step overhead.
-    With `swap_gn` the inputs are (B, N, G, C) (tokens-major) and the
-    group/token swap happens inside the kernel in VMEM."""
-    if swap_gn:
-        b, n, g, c = q.shape
-    else:
-        b, g, n, c = q.shape
+    elements are processed per grid step to amortize per-step overhead."""
+    b, g, n, c = q.shape
     h = num_heads
     while b % block_b:
         block_b //= 2
@@ -128,8 +109,7 @@ def masked_sdpa_pallas(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     seg_spec = pl.BlockSpec((h * n, h * n), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale, num_heads=num_heads,
-                          swap_gn=swap_gn),
+        functools.partial(_attn_kernel, scale=scale, num_heads=num_heads),
         grid=(b // block_b,),
         in_specs=[spec, spec, spec, mk_spec, mv_spec, seg_spec],
         out_specs=spec,
@@ -140,7 +120,7 @@ def masked_sdpa_pallas(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, mask_k_ref, mask_v_ref,
                      seg_ref, rep_ref, dq_ref, dk_ref, dv_ref, *,
-                     scale: float, num_heads: int, swap_gn: bool = False):
+                     scale: float, num_heads: int):
     """Backward of the masked attention, same VMEM expansions as forward.
 
     With P the per-head probs, the gradients in expanded (H*N) coordinates:
@@ -152,16 +132,10 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, mask_k_ref, mask_v_ref,
     where E (N, H*N) is the identity tiled across heads (a segment-collapse
     matmul) and SEG the block-diagonal ones used by the forward softmax.
     """
-    if swap_gn:
-        blk, n0, g0, c0 = q_ref.shape
+    blk, g0, n0, c0 = q_ref.shape
 
-        def load(ref):
-            return jnp.swapaxes(ref[...], 1, 2).reshape(blk * g0, n0, c0)
-    else:
-        blk, g0, n0, c0 = q_ref.shape
-
-        def load(ref):
-            return ref[...].reshape(blk * g0, n0, c0)
+    def load(ref):
+        return ref[...].reshape(blk * g0, n0, c0)
 
     q = load(q_ref)
     k = load(k_ref)
@@ -218,10 +192,7 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, mask_k_ref, mask_v_ref,
     dk = jnp.swapaxes(dk, 0, 1)
 
     def store(ref, z):
-        z = z.astype(ref.dtype).reshape(blk, g0, n0, c0)
-        if swap_gn:
-            z = jnp.swapaxes(z, 1, 2)
-        ref[...] = z
+        ref[...] = z.astype(ref.dtype).reshape(blk, g0, n0, c0)
 
     store(dq_ref, dq)
     store(dk_ref, dk)
@@ -229,11 +200,8 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, mask_k_ref, mask_v_ref,
 
 
 def masked_sdpa_bwd_pallas(q, k, v, g, scale: float, num_heads: int,
-                           interpret: bool = False, swap_gn: bool = False):
-    if swap_gn:
-        b, n, g0, c = q.shape
-    else:
-        b, g0, n, c = q.shape
+                           interpret: bool = False):
+    b, g0, n, c = q.shape
     h = num_heads
     spec = pl.BlockSpec((1,) + q.shape[1:3] + (c,), lambda i: (i, 0, 0, 0),
                         memory_space=pltpu.VMEM)
@@ -250,8 +218,7 @@ def masked_sdpa_bwd_pallas(q, k, v, g, scale: float, num_heads: int,
 
     out_shape = [jax.ShapeDtypeStruct(q.shape, q.dtype)] * 3
     return pl.pallas_call(
-        functools.partial(_attn_bwd_kernel, scale=scale, num_heads=num_heads,
-                          swap_gn=swap_gn),
+        functools.partial(_attn_bwd_kernel, scale=scale, num_heads=num_heads),
         grid=(b,),
         in_specs=[spec, spec, spec, spec, cspec(mask_k), cspec(mask_v),
                   cspec(seg), cspec(rep)],
@@ -259,201 +226,6 @@ def masked_sdpa_bwd_pallas(q, k, v, g, scale: float, num_heads: int,
         out_shape=out_shape,
         interpret=interpret,
     )(q, k, v, g, mask_k, mask_v, seg, rep)
-
-
-def _folded_attn_kernel(q_ref, k_ref, v_ref, out_ref, *, scale: float,
-                        num_heads: int, fold: int, n: int):
-    """FOLD groups per dot-triplet: two big MXU dots instead of 3*FOLD tiny
-    ones.
-
-    The per-group masked-contraction kernel issues 3 small dots per group
-    (M=17 rows); at G=27 groups that is ~81 serialized MXU ops per batch
-    element, and measured time is op-issue-bound (block_b=2 ≈ block_b=1).
-    This variant stacks FOLD groups AND the head expansion into the M dim:
-
-      Q_exp (H*FOLD*N, C): rows (head i, group f, query n), channel-masked
-          to head i's slice — so a single C-deep contraction computes
-          per-head logits with cross-head terms exactly zero.
-      KT (C, FOLD*N): all FOLD groups' keys, plain.
-      logits = Q_exp @ KT -> (H*FOLD*N, FOLD*N): valid where the row's
-          group == the column's group; cross-group entries are masked to
-          -inf before the softmax (mask from iotas, no extra operand).
-      out_exp = probs @ V_flat (FOLD*N, C) -> (H*FOLD*N, C); per-head
-          channel masking + a sum over the H axis collapses it to
-          (FOLD*N, C).
-
-    FLOPs are H-fold padded (inherent to the full-C contraction trick), but
-    both dots have MXU-sized M (e.g. 1224 rows at FOLD=9, H=8, N=17) so the
-    op count per element drops ~13x vs the per-group kernel.
-    """
-    blk, fold_, n_, c = q_ref.shape[0], fold, n, q_ref.shape[-1]
-    h = num_heads
-    d = c // h
-    rows = h * fold * n
-    cols = fold * n
-
-    q = q_ref[...].reshape(fold * n, c)  # block = (1, FOLD, N, C)
-    k = k_ref[...].reshape(fold * n, c)
-    v = v_ref[...].reshape(fold * n, c)
-
-    # Q_exp: tile H copies along a leading axis, mask channels per head
-    chan = jax.lax.broadcasted_iota(jnp.int32, (h, 1, c), 2)
-    head = jax.lax.broadcasted_iota(jnp.int32, (h, 1, c), 0)
-    chan_mask = (chan // d == head).astype(q.dtype)  # (H, 1, C)
-    q_exp = (jnp.broadcast_to(q[None], (h, fold * n, c)) * chan_mask
-             ).reshape(rows, c)
-
-    logits = jax.lax.dot_general(
-        q_exp, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale  # (rows, cols)
-
-    row_grp = (jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0) // n) % fold
-    col_grp = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1) // n
-    valid = row_grp == col_grp
-    neg = jnp.finfo(jnp.float32).min
-    logits = jnp.where(valid, logits, neg)
-    rowmax = jnp.max(logits, axis=-1, keepdims=True)
-    e = jnp.exp(logits - rowmax)
-    e = jnp.where(valid, e, 0.0)
-    probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(q.dtype)
-
-    out_exp = jax.lax.dot_general(
-        probs, v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)  # (rows, C)
-    out = jnp.sum(out_exp.reshape(h, fold * n, c)
-                  * chan_mask.astype(jnp.float32), axis=0)
-    out_ref[...] = out.astype(out_ref.dtype).reshape(1, fold, n, c)
-
-
-def folded_sdpa_pallas(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                       scale: float, num_heads: int, fold: int | None = None,
-                       interpret: bool = False) -> jnp.ndarray:
-    """Folded-group attention: q, k, v (B, G, N, C), attention over N per
-    (B, G). Grid = (B, G/FOLD); pads G up to a FOLD multiple when needed
-    (padded groups attend among themselves and are sliced away)."""
-    b, g, n, c = q.shape
-    if fold is None:
-        # FOLD*N should fill (not exceed) one 128-lane tile: the logits dot
-        # costs ceil(H*FOLD*N/128) * ceil(FOLD*N/128) MXU passes, so a
-        # second lane tile doubles the pass count for little extra fold.
-        fold = min(g, max(1, 128 // n))
-    gp = -(-g // fold) * fold
-    if gp != g:
-        pad = [(0, 0), (0, gp - g), (0, 0), (0, 0)]
-        q, k, v = (jnp.pad(z, pad) for z in (q, k, v))
-    spec = pl.BlockSpec((1, fold, n, c), lambda i, j: (i, j, 0, 0),
-                        memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        functools.partial(_folded_attn_kernel, scale=scale,
-                          num_heads=num_heads, fold=fold, n=n),
-        grid=(b, gp // fold),
-        in_specs=[spec, spec, spec],
-        out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
-        interpret=interpret,
-    )(q, k, v)
-    return out[:, :g] if gp != g else out
-
-
-def _folded_attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref,
-                            dv_ref, *, scale: float, num_heads: int,
-                            fold: int, n: int):
-    """Folded backward: 5 big dots per FOLD-group (recompute logits, dV, dP,
-    dQ, dK) instead of ~7 tiny dots per group. Same expanded coordinates as
-    the forward; P is zero on cross-group/cross-head entries so the plain
-    matmuls below contract exactly the valid blocks."""
-    c = q_ref.shape[-1]
-    h = num_heads
-    d = c // h
-    rows = h * fold * n
-    cols = fold * n
-    f32 = jnp.float32
-
-    q = q_ref[...].reshape(cols, c)
-    k = k_ref[...].reshape(cols, c)
-    v = v_ref[...].reshape(cols, c)
-    g = g_ref[...].reshape(cols, c)
-
-    chan = jax.lax.broadcasted_iota(jnp.int32, (h, 1, c), 2)
-    head = jax.lax.broadcasted_iota(jnp.int32, (h, 1, c), 0)
-    chan_mask = (chan // d == head).astype(q.dtype)  # (H, 1, C)
-
-    def expand(z):  # (cols, C) -> (rows, C) head-tiled + channel-masked
-        return (jnp.broadcast_to(z[None], (h, cols, c)) * chan_mask
-                ).reshape(rows, c)
-
-    q_exp = expand(q)
-    g_exp = expand(g)
-
-    # recompute probs (as in forward)
-    logits = jax.lax.dot_general(
-        q_exp, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=f32) * scale
-    row_grp = (jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0) // n) % fold
-    col_grp = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1) // n
-    valid = row_grp == col_grp
-    neg = jnp.finfo(f32).min
-    logits = jnp.where(valid, logits, neg)
-    rowmax = jnp.max(logits, axis=-1, keepdims=True)
-    e = jnp.exp(logits - rowmax)
-    e = jnp.where(valid, e, 0.0)
-    probs = e / jnp.sum(e, axis=-1, keepdims=True)  # (rows, cols) f32
-
-    # dV = P^T g_exp  (mask in g_exp selects the right head per channel;
-    # zero cross-group probs kill f' != f terms)
-    probs_b = probs.astype(q.dtype)
-    dv = jax.lax.dot_general(
-        probs_b, g_exp, (((0,), (0,)), ((), ())),
-        preferred_element_type=f32)  # (cols, C)
-
-    # dP = g_exp V^T ; dL = P (dP - rowsum(P dP)) * scale
-    dprobs = jax.lax.dot_general(
-        g_exp, v, (((1,), (1,)), ((), ())), preferred_element_type=f32)
-    pd = probs * dprobs
-    rowsum = jnp.sum(jnp.where(valid, pd, 0.0), axis=-1, keepdims=True)
-    dlogits = (probs * (dprobs - rowsum) * scale)
-    dlogits = jnp.where(valid, dlogits, 0.0).astype(q.dtype)
-
-    # dQ = collapse_heads(dL @ K)
-    dq_exp = jax.lax.dot_general(
-        dlogits, k, (((1,), (0,)), ((), ())), preferred_element_type=f32)
-    dq = jnp.sum(dq_exp.reshape(h, cols, c) * chan_mask.astype(f32), axis=0)
-
-    # dK = dL^T @ Q_exp
-    dk = jax.lax.dot_general(
-        dlogits, expand(q), (((0,), (0,)), ((), ())),
-        preferred_element_type=f32)  # (cols, C)
-
-    shape = dq_ref.shape
-    dq_ref[...] = dq.astype(dq_ref.dtype).reshape(shape)
-    dk_ref[...] = dk.astype(dk_ref.dtype).reshape(shape)
-    dv_ref[...] = dv.astype(dv_ref.dtype).reshape(shape)
-
-
-def folded_sdpa_bwd_pallas(q, k, v, g, scale: float, num_heads: int,
-                           fold: int | None = None, interpret: bool = False):
-    b, g0, n, c = q.shape
-    if fold is None:
-        fold = min(g0, max(1, 128 // n))
-    gp = -(-g0 // fold) * fold
-    if gp != g0:
-        pad = [(0, 0), (0, gp - g0), (0, 0), (0, 0)]
-        q, k, v, g = (jnp.pad(z, pad) for z in (q, k, v, g))
-    spec = pl.BlockSpec((1, fold, n, c), lambda i, j: (i, j, 0, 0),
-                        memory_space=pltpu.VMEM)
-    out_shape = [jax.ShapeDtypeStruct(q.shape, q.dtype)] * 3
-    dq, dk, dv = pl.pallas_call(
-        functools.partial(_folded_attn_bwd_kernel, scale=scale,
-                          num_heads=num_heads, fold=fold, n=n),
-        grid=(b, gp // fold),
-        in_specs=[spec] * 4,
-        out_specs=[spec] * 3,
-        out_shape=out_shape,
-        interpret=interpret,
-    )(q, k, v, g)
-    if gp != g0:
-        dq, dk, dv = dq[:, :g0], dk[:, :g0], dv[:, :g0]
-    return dq, dk, dv
 
 
 def masked_sdpa_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
@@ -488,8 +260,7 @@ def masked_sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
     """
     if (jax.default_backend() == "tpu" and q.shape[-1] % num_heads == 0
             and ATTN_IMPL != "xla"):
-        kernel = (folded_sdpa_pallas if ATTN_IMPL == "folded"
-                  else masked_sdpa_pallas)
+        kernel = masked_sdpa_pallas
         if q.ndim == 4:
             return kernel(q, k, v, scale, num_heads)
         if q.ndim == 3:
@@ -531,8 +302,7 @@ def _masked_sdpa_bwd(scale, num_heads, residuals, g):
     q, k, v = residuals
     if (jax.default_backend() == "tpu" and q.shape[-1] % num_heads == 0
             and ATTN_IMPL != "xla"):
-        bwd = (folded_sdpa_bwd_pallas if ATTN_IMPL == "folded"
-               else masked_sdpa_bwd_pallas)
+        bwd = masked_sdpa_bwd_pallas
         if q.ndim == 4:
             return bwd(q, k, v, g, scale, num_heads)
         if q.ndim == 3:
@@ -599,40 +369,3 @@ def masked_sdpa_tp(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                             out_specs=spec, check_rep=False)
     return wrapped(q, k, v)
 
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def masked_sdpa_tm(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                   scale: float, num_heads: int) -> jnp.ndarray:
-    """Tokens-major variant: q, k, v (B, N, G, C), attention over N (axis 1)
-    per (B, G) — the model's TEMPORAL attention on its natural (B, T, J, C)
-    layout. On TPU the group/token swap happens inside the Pallas kernel in
-    VMEM; the jnp fallback transposes in HBM. Measured SLOWER than the
-    transpose-outside path in-model (233 vs 202 ms fwd at batch 128), so
-    the model does not use it by default — kept as a tested capability."""
-    if (jax.default_backend() == "tpu" and q.ndim == 4
-            and q.shape[-1] % num_heads == 0 and ATTN_IMPL != "xla"):
-        return masked_sdpa_pallas(q, k, v, scale, num_heads, swap_gn=True)
-    qt, kt, vt = (z.transpose(0, 2, 1, 3) for z in (q, k, v))
-    return masked_sdpa_xla(qt, kt, vt, scale, num_heads).transpose(0, 2, 1, 3)
-
-
-def _masked_sdpa_tm_fwd(q, k, v, scale, num_heads):
-    return masked_sdpa_tm(q, k, v, scale, num_heads), (q, k, v)
-
-
-def _masked_sdpa_tm_bwd(scale, num_heads, residuals, g):
-    q, k, v = residuals
-    if (jax.default_backend() == "tpu" and q.ndim == 4
-            and q.shape[-1] % num_heads == 0 and ATTN_IMPL != "xla"):
-        return masked_sdpa_bwd_pallas(q, k, v, g, scale, num_heads,
-                                      swap_gn=True)
-
-    def f(a, b, c):
-        at, bt, ct = (z.transpose(0, 2, 1, 3) for z in (a, b, c))
-        return masked_sdpa_xla(at, bt, ct, scale, num_heads).transpose(0, 2, 1, 3)
-
-    _, vjp = jax.vjp(f, q, k, v)
-    return vjp(g)
-
-
-masked_sdpa_tm.defvjp(_masked_sdpa_tm_fwd, _masked_sdpa_tm_bwd)

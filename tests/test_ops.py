@@ -59,30 +59,6 @@ def test_masked_sdpa_pallas_block_sizes():
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
 
 
-def test_fused_former_module_interpret_matches_unfused():
-    from kasportsformer_tpu.models import layers as L
-    from kasportsformer_tpu.ops.former_module import fused_former_module
-
-    key = jax.random.key(0)
-    c, h = 64, 4
-    p, _ = L.former_module_init(key, c, 4.0, "attention", "spatial", h,
-                                False, 1e-5, 27)
-    x = jnp.asarray(RNG.standard_normal((2, 5, 17, c)).astype(np.float32))
-
-    ref = L.layer_norm(p["norm1"], x)
-    ref = x + p["ls1"] * L.attention(p["mixer"], ref, h, "spatial")
-    ref = ref + p["ls2"] * L.mlp(p["mlp"], L.layer_norm(p["norm2"], ref))
-
-    wq = p["mixer"]["qkv"]["w"][:, :c]
-    wkv = p["mixer"]["qkv"]["w"][:, c:]
-    got = fused_former_module(
-        x, x, p["norm1"], p["norm1"], wq, wkv, p["mixer"]["proj"],
-        p["norm2"], p["mlp"], p["ls1"], p["ls2"], (c // h) ** -0.5, h,
-        interpret=True)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                               atol=2e-5, rtol=1e-4)
-
-
 def test_masked_sdpa_bwd_pallas_matches_autodiff():
     from kasportsformer_tpu.ops.attention import masked_sdpa_bwd_pallas
 
@@ -110,130 +86,6 @@ def test_masked_sdpa_is_differentiable():
     grad = jax.grad(loss)(q)
     assert grad.shape == q.shape
     assert np.isfinite(np.asarray(grad)).all()
-
-
-def test_folded_sdpa_pallas_interpret_matches_xla():
-    """Folded-group kernel (FOLD groups per dot-triplet, head-masked M
-    expansion) must match the XLA formulation, incl. the G-padding path."""
-    from kasportsformer_tpu.ops.attention import folded_sdpa_pallas
-
-    for (b, g, n, c, h, fold) in [(2, 27, 17, 128, 8, 9),
-                                  (2, 17, 27, 128, 8, 6),  # pads 17 -> 18
-                                  (1, 5, 17, 64, 4, 2),
-                                  (2, 27, 17, 128, 8, None)]:
-        q = RNG.standard_normal((b, g, n, c)).astype(np.float32)
-        k = RNG.standard_normal((b, g, n, c)).astype(np.float32)
-        v = RNG.standard_normal((b, g, n, c)).astype(np.float32)
-        scale = (c // h) ** -0.5
-        want = np.asarray(masked_sdpa_xla(jnp.asarray(q), jnp.asarray(k),
-                                          jnp.asarray(v), scale, h))
-        got = np.asarray(folded_sdpa_pallas(
-            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), scale, h,
-            fold=fold, interpret=True))
-        np.testing.assert_allclose(got, want, atol=1e-4,
-                                   err_msg=f"fold={fold} g={g}")
-
-
-def test_folded_sdpa_bwd_pallas_interpret_matches_xla_vjp():
-    """Folded backward kernel vs jax.vjp of the XLA formulation."""
-    from kasportsformer_tpu.ops.attention import folded_sdpa_bwd_pallas
-
-    for (b, g0, n, c, h, fold) in [(2, 27, 17, 128, 8, 9),
-                                   (2, 17, 27, 64, 4, 6),  # pads 17 -> 18
-                                   (1, 6, 17, 64, 4, None)]:
-        q, k, v, g = (jnp.asarray(RNG.standard_normal((b, g0, n, c)),
-                                  jnp.float32) for _ in range(4))
-        scale = (c // h) ** -0.5
-        _, vjp = jax.vjp(
-            lambda a, bb, cc: masked_sdpa_xla(a, bb, cc, scale, h), q, k, v)
-        want = vjp(g)
-        got = folded_sdpa_bwd_pallas(q, k, v, g, scale, h, fold=fold,
-                                     interpret=True)
-        for w, gt, name in zip(want, got, ("dq", "dk", "dv")):
-            np.testing.assert_allclose(np.asarray(gt), np.asarray(w),
-                                       atol=2e-4, err_msg=f"{name} fold={fold}")
-
-
-def test_gcn_dynamic_aggregate_interpret_matches_jnp():
-    """Fused dynamic-GCN kernel (fwd + custom VJP) vs the jnp formulation
-    in layers.gcn temporal mode."""
-    from kasportsformer_tpu.ops.gcn import dynamic_gcn_aggregate
-
-    def ref_agg(tokens, vxx, k=4):
-        sim = jnp.einsum("ntc,nsc->nts", tokens, tokens)
-        s = sim.astype(jnp.float32)
-        for _ in range(k - 1):
-            m = jnp.max(s, axis=-1, keepdims=True)
-            s = jnp.where(s >= m, -jnp.inf, s)
-        kth = jnp.max(s, axis=-1, keepdims=True).astype(sim.dtype)
-        adj = (sim >= kth).astype(tokens.dtype)
-        dinv = jnp.sum(adj, -1) ** -0.5
-        return jnp.einsum("nts,nsc->ntc",
-                          adj * dinv[..., :, None] * dinv[..., None, :], vxx)
-
-    for m, t, c, fold in [(16, 27, 128, 8), (7, 27, 32, 4), (10, 13, 64, None)]:
-        tokens = jnp.asarray(RNG.standard_normal((m, t, c)), jnp.float32)
-        vx = jnp.asarray(RNG.standard_normal((m, t, c)), jnp.float32)
-        want = np.asarray(ref_agg(tokens, vx))
-        got = np.asarray(dynamic_gcn_aggregate(tokens, vx, 4, fold, True))
-        np.testing.assert_allclose(got, want, atol=1e-4)
-
-        gr = jax.grad(lambda tk, vv: jnp.sum(
-            jnp.sin(ref_agg(tk, vv))), argnums=(0, 1))(tokens, vx)
-        gk = jax.grad(lambda tk, vv: jnp.sum(
-            jnp.sin(dynamic_gcn_aggregate(tk, vv, 4, fold, True))),
-            argnums=(0, 1))(tokens, vx)
-        for a, b2 in zip(gr, gk):
-            np.testing.assert_allclose(np.asarray(b2), np.asarray(a), atol=1e-4)
-
-
-def test_masked_sdpa_swap_gn_matches_transposed():
-    """Tokens-major (swap_gn) kernel path == transpose + normal kernel, fwd
-    and bwd — the model's temporal attention runs this way on TPU to avoid
-    4 materialized HBM transposes per call."""
-    from kasportsformer_tpu.ops.attention import (
-        masked_sdpa_bwd_pallas,
-        masked_sdpa_pallas,
-    )
-
-    b, t, j, c, h = 2, 27, 17, 64, 4
-    q, k, v, g = (jnp.asarray(RNG.standard_normal((b, t, j, c)), jnp.float32)
-                  for _ in range(4))
-    scale = (c // h) ** -0.5
-    want = masked_sdpa_pallas(
-        *[z.transpose(0, 2, 1, 3) for z in (q, k, v)], scale, h,
-        interpret=True).transpose(0, 2, 1, 3)
-    got = masked_sdpa_pallas(q, k, v, scale, h, interpret=True, swap_gn=True)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
-
-    wq, wk, wv = masked_sdpa_bwd_pallas(
-        *[z.transpose(0, 2, 1, 3) for z in (q, k, v, g)], scale, h,
-        interpret=True)
-    got_b = masked_sdpa_bwd_pallas(q, k, v, g, scale, h, interpret=True,
-                                   swap_gn=True)
-    for w, gt in zip((wq, wk, wv), got_b):
-        np.testing.assert_allclose(np.asarray(gt),
-                                   np.asarray(w.transpose(0, 2, 1, 3)),
-                                   atol=1e-5)
-
-
-def test_masked_sdpa_tm_cpu_fallback_matches():
-    """masked_sdpa_tm on CPU (transpose + XLA path) == manual transpose."""
-    from kasportsformer_tpu.ops.attention import masked_sdpa_tm
-
-    b, t, j, c, h = 2, 9, 17, 64, 4
-    q, k, v = (jnp.asarray(RNG.standard_normal((b, t, j, c)), jnp.float32)
-               for _ in range(3))
-    scale = (c // h) ** -0.5
-    want = masked_sdpa_xla(*[z.transpose(0, 2, 1, 3) for z in (q, k, v)],
-                           scale, h).transpose(0, 2, 1, 3)
-    got = masked_sdpa_tm(q, k, v, scale, h)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
-
-    # differentiable through the custom VJP
-    gr = jax.grad(lambda a: jnp.sum(jnp.sin(
-        masked_sdpa_tm(a, k, v, scale, h))))(q)
-    assert bool(jnp.isfinite(gr).all())
 
 
 def test_masked_sdpa_tp_matches_single_device():
