@@ -24,6 +24,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
+import os
 from typing import Any
 
 import jax
@@ -41,6 +42,16 @@ from kasportsformer_tpu.skeleton import (
 )
 
 Params = dict[str, Any]
+
+# fused-body fusion-gate formulation A/B (see fused_trunk_layer_apply):
+# split per-branch gate matmuls (default) vs the reference's concat form
+_GATE_SPLIT = os.environ.get("KASF_GATE_SPLIT", "1") != "0"
+# stage-1 A/B: "wide" = one (C,6C) folded matmul; "sep" = per-branch LN +
+# projections (the per-module formulation)
+_STAGE1 = os.environ.get("KASF_STAGE1", "wide")
+# graph LN-stream source A/B: bf16 xh (default; frees the f32 norm core
+# early) vs f32 xh
+_HG_BF16 = os.environ.get("KASF_HG_BF16", "1") != "0"
 
 # (16, 17) selection matrix: row b = e[child_b] - e[parent_b], so
 # M @ joints_xy yields all bone vectors in one matmul. Kept as numpy — it
@@ -193,6 +204,174 @@ def trunk_layer_apply(p: Params, state: Params, x: jnp.ndarray,
     return out, new_state
 
 
+# ------------------------------------------- fused trunk body (layers >= 1)
+#
+# Round-2 profiling (docs/ROUND_NOTES.md) put the trunk's thin-K linears —
+# (tokens, 128) @ (128, 128..384) projections — at ~1/6 of the measured MXU
+# rate, while widening the OUTPUT of a K=128 matmul is nearly free. The
+# layers >= 1 body therefore restructures the reference's per-module
+# formulation (without touching the parameter layout — fusion happens at
+# apply time, in f32, as a pure reorder of the same math):
+#
+# * all three branches read the SAME stream x (the layer-0-only x_bone
+#   routing, `model/KASportsFormer.py:332-336`, is honored by running layer
+#   0 unrolled outside the scan), so their pre-mixer LayerNorms share one
+#   normalize core x̂ and each branch's scale/bias folds into its first
+#   projection:  LN(x) @ W == x̂ @ (s ⊙ W) + b @ W;
+# * the folded projections concatenate into ONE (C, 6C)-wide matmul:
+#   attention qkv (3C) | graph V (C) | graph U (C) | bone q (C);
+# * the limb stream x_limb is loop-invariant, so its normalize core hoists
+#   out of the scan entirely and both bone modules' K/V projections stack
+#   into one (C, 4C) matmul per layer;
+# * the 3-way fusion gate's input concat is algebraically split into three
+#   (C, 3) matmuls (no (.., 3C) concat materialization).
+
+
+def _norm_core(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """LayerNorm without affine params, f32 statistics, f32 result."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    return (xf - mean) * jax.lax.rsqrt(var + eps)
+
+
+def _fold_norm_linear(norm: Params, lin: Params) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fold LayerNorm affine params into a following linear (leading layer
+    axis broadcast): LN(x) @ W + b  ==  x̂ @ (scale ⊙ W) + (bias @ W + b)."""
+    w = norm["scale"][..., :, None] * lin["w"]
+    b = jnp.einsum("...c,...cn->...n", norm["bias"], lin["w"])
+    if "b" in lin:
+        b = b + lin["b"]
+    return w, b
+
+
+def fused_trunk_weights(lp: Params) -> Params:
+    """Precompute the fused stage-1 and limb-KV weights for a (stacked)
+    trunk-layer parameter pytree. Pure f32 reorders of the reference
+    parameterization; computed once per forward, outside the layer scan."""
+    w_qkv, b_qkv = _fold_norm_linear(lp["att_spatial"]["norm1"],
+                                     lp["att_spatial"]["mixer"]["qkv"])
+    w_v, b_v = _fold_norm_linear(lp["graph_spatial"]["norm1"],
+                                 lp["graph_spatial"]["mixer"]["V"])
+    w_u, b_u = _fold_norm_linear(lp["graph_spatial"]["norm1"],
+                                 lp["graph_spatial"]["mixer"]["U"])
+    w_qb, b_qb = _fold_norm_linear(lp["bone_spatial"]["norm1"],
+                                   lp["bone_spatial"]["mixer"]["q"])
+    w_kvs, b_kvs = _fold_norm_linear(lp["bone_spatial"]["norm1_limb"],
+                                     lp["bone_spatial"]["mixer"]["kv"])
+    w_kvt, b_kvt = _fold_norm_linear(lp["bone_temporal"]["norm1_limb"],
+                                     lp["bone_temporal"]["mixer"]["kv"])
+    return {
+        "w1": jnp.concatenate([w_qkv, w_v, w_u, w_qb], axis=-1),
+        "b1": jnp.concatenate([b_qkv, b_v, b_u, b_qb], axis=-1),
+        "wkv": jnp.concatenate([w_kvs, w_kvt], axis=-1),
+        "bkv": jnp.concatenate([b_kvs, b_kvt], axis=-1),
+    }
+
+
+def _mixer_tail(p: Params, x: jnp.ndarray, mixed: jnp.ndarray,
+                use_layer_scale: bool) -> jnp.ndarray:
+    """The FormerModule residual tail: x + LS1*mixed; x + LS2*MLP(LN(x))."""
+    if use_layer_scale:
+        x = x + p["ls1"].astype(x.dtype) * mixed
+        x = x + p["ls2"].astype(x.dtype) * L.mlp(
+            p["mlp"], L.layer_norm(p["norm2"], x))
+    else:
+        x = x + mixed
+        x = x + L.mlp(p["mlp"], L.layer_norm(p["norm2"], x))
+    return x
+
+
+def fused_trunk_layer_apply(p: Params, fw: Params, state: Params,
+                            x: jnp.ndarray, l_hat: jnp.ndarray,
+                            cfg: "KASportsFormerConfig", train: bool,
+                            spatial_norm_adj: jnp.ndarray,
+                            static_temporal_adj: jnp.ndarray | None = None
+                            ) -> tuple[jnp.ndarray, Params]:
+    """One trunk layer for layers >= 1 — numerically the same computation as
+    `trunk_layer_apply` with bone_in == x, restructured for the MXU (see the
+    section comment above). `l_hat` is the hoisted limb-stream normalize
+    core; `fw` the per-layer `fused_trunk_weights` slice."""
+    dtype = x.dtype
+    c = cfg.dim_feat
+    heads = cfg.num_heads
+    scale = cfg.qkv_scale or (c // heads) ** -0.5
+    use_ls = cfg.use_layer_scale
+
+    xh_f32 = _norm_core(x)
+    xh = xh_f32.astype(dtype)
+    if _STAGE1 == "wide":
+        big = xh @ fw["w1"].astype(dtype) + fw["b1"].astype(dtype)
+        qkv_a = big[..., : 3 * c]
+        v_g = big[..., 3 * c : 4 * c]
+        u_g = big[..., 4 * c : 5 * c]
+        q_b = big[..., 5 * c : 6 * c]
+    else:  # per-branch LN + projections (A/B)
+        h_a = L.layer_norm(p["att_spatial"]["norm1"], x)
+        qkv_a = L.linear(p["att_spatial"]["mixer"]["qkv"], h_a)
+        h_gs = L.layer_norm(p["graph_spatial"]["norm1"], x)
+        v_g = L.linear(p["graph_spatial"]["mixer"]["V"], h_gs)
+        u_g = L.linear(p["graph_spatial"]["mixer"]["U"], h_gs)
+        q_b = L.linear(p["bone_spatial"]["mixer"]["q"],
+                       L.layer_norm(p["bone_spatial"]["norm1"], x))
+    kv = l_hat @ fw["wkv"].astype(dtype) + fw["bkv"].astype(dtype)
+    k_sp, v_sp, k_t, v_t = jnp.split(kv, 4, axis=-1)
+
+    # --- attention branch
+    p_as = p["att_spatial"]
+    q, k, v = jnp.split(qkv_a, 3, axis=-1)
+    core = L._sdpa(q, k, v, scale, "spatial", heads)
+    x_attn = _mixer_tail(p_as, x, L.linear(p_as["mixer"]["proj"], core), use_ls)
+    x_attn, _ = L.former_module(
+        p["att_temporal"], {}, x_attn, "attention", "temporal", heads, train,
+        qk_scale=cfg.qkv_scale, use_layer_scale=use_ls)
+
+    # --- graph branch (spatial GCN inline: V/U came from the fused matmul)
+    p_gs = p["graph_spatial"]
+    b_, t_, j_, _ = x.shape
+    if _HG_BF16:
+        h_g = (xh * p_gs["norm1"]["scale"].astype(dtype)
+               + p_gs["norm1"]["bias"].astype(dtype))
+    else:
+        h_g = (xh_f32 * p_gs["norm1"]["scale"]
+               + p_gs["norm1"]["bias"]).astype(dtype)
+    agg = jnp.einsum("jk,btkc->btjc", spatial_norm_adj.astype(dtype), v_g)
+    pre = (agg + u_g).reshape(b_ * t_, j_, c)
+    normed, st_gs_bn = L.batch_norm_nodes(
+        p_gs["mixer"]["bn"], state["graph_spatial"]["bn"], pre, train)
+    gout = jax.nn.relu(h_g.reshape(b_ * t_, j_, c) + normed)
+    x_graph = _mixer_tail(p_gs, x, gout.reshape(b_, t_, j_, c), use_ls)
+    x_graph, st_gt = L.former_module(
+        p["graph_temporal"], state["graph_temporal"], x_graph, "graph",
+        "temporal", heads, train, neighbour_num=cfg.neighbour_num,
+        static_temporal_adj=static_temporal_adj, use_layer_scale=use_ls)
+
+    # --- bone branch (cross-attention; K/V precomputed from the limb stream)
+    p_bs, p_bt = p["bone_spatial"], p["bone_temporal"]
+    core = L._sdpa(q_b, k_sp, v_sp, scale, "spatial", heads)
+    x_bone = _mixer_tail(p_bs, x, L.linear(p_bs["mixer"]["proj"], core), use_ls)
+    q_t = L.linear(p_bt["mixer"]["q"], L.layer_norm(p_bt["norm1"], x_bone))
+    core = L._sdpa(q_t, k_t, v_t, scale, "temporal", heads)
+    x_bone = _mixer_tail(p_bt, x_bone, L.linear(p_bt["mixer"]["proj"], core),
+                         use_ls)
+
+    # --- adaptive 3-way fusion, concat split into per-branch gate matmuls
+    if cfg.use_adaptive_fusion:
+        if _GATE_SPLIT:
+            wf = p["fusion"]["w"].astype(dtype)
+            logits = (x_attn @ wf[:c] + x_graph @ wf[c : 2 * c]
+                      + x_bone @ wf[2 * c :] + p["fusion"]["b"].astype(dtype))
+            alpha = jax.nn.softmax(logits, axis=-1)
+            out = (x_attn * alpha[..., 0:1] + x_graph * alpha[..., 1:2]
+                   + x_bone * alpha[..., 2:3])
+        else:
+            out = L.adaptive_fusion(p["fusion"], [x_attn, x_graph, x_bone])
+    else:
+        out = (x_attn + x_graph + x_bone) / 3
+    new_state = {"graph_spatial": {"bn": st_gs_bn}, "graph_temporal": st_gt}
+    return out, new_state
+
+
 # ------------------------------------------------------------ full model
 
 
@@ -222,6 +401,15 @@ class KASportsFormerConfig:
     # trunk lax.scan unroll factor: >1 lets XLA fuse across layer
     # boundaries at the cost of compile time (1 = fully rolled)
     scan_unroll: int = 1
+    # activation names the trunk remat policy saves for backward (see
+    # `apply`); None disables remat entirely (save-everything — cheapest
+    # backward, largest activation memory). "mlp_hidden" is the next rung:
+    # +~9 GB at batch 256 on the full model, skips the fc1 replays.
+    remat_names: tuple[str, ...] | None = ("attn_core", "gcn_agg")
+    # scan body formulation for layers >= 1: the MXU-fused body
+    # (`fused_trunk_layer_apply`) vs the per-module reference formulation
+    # (`trunk_layer_apply`) — numerically equivalent, kept for A/B
+    fused_trunk: bool = True
 
 
 class KASportsFormer:
@@ -287,33 +475,61 @@ class KASportsFormer:
         x_limb = (L.linear(params["limb_embed"], x_limb)
                   + params["limb_pos_embed"].astype(dtype))
 
-        # 26-layer trunk under lax.scan; layer 0 feeds the embedded bone
-        # stream into the bone branch, later layers feed the fused stream
-        # (`model/KASportsFormer.py:332-336`).
-        is_first = jnp.arange(cfg.n_layers) == 0
+        # 26-layer trunk: layer 0 runs unrolled (its bone branch reads the
+        # embedded bone stream, `model/KASportsFormer.py:332-336`); layers
+        # >= 1 all read the fused stream, so they run as a lax.scan over the
+        # MXU-restructured fused body (see `fused_trunk_layer_apply`).
         adj = self.spatial_norm_adj
         t_adj = self.static_temporal_adj
+        if cfg.remat_names is None:
+            def remat(f):
+                return f
+        else:
+            remat = functools.partial(
+                jax.checkpoint,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    *cfg.remat_names))
 
-        # remat the layer body: without it the scan saves every layer's
-        # activations for backward (26 x (B,27,17,512) MLP temps = ~9 GB at
-        # batch 256), blowing HBM. The policy keeps the attention-core
-        # outputs (the expensive recompute; ~3 GB at batch 256) and replays
-        # only the cheap linears/norms.
-        @functools.partial(
-            jax.checkpoint,
-            policy=jax.checkpoint_policies.save_only_these_names(
-                "attn_core", "gcn_agg"))
-        def body(carry, step):
-            layer_params, layer_state, first = step
-            bone_in = jnp.where(first, x_bone, carry)
-            out, new_state = trunk_layer_apply(
-                layer_params, layer_state, carry, bone_in, x_limb, cfg, train,
-                adj, static_temporal_adj=t_adj)
-            return out, new_state
+        layer0_p = jax.tree.map(lambda a: a[0], params["layers"])
+        layer0_s = jax.tree.map(lambda a: a[0], state["layers"])
+        x, st0 = remat(
+            lambda xx, bb: trunk_layer_apply(
+                layer0_p, layer0_s, xx, bb, x_limb, cfg, train, adj,
+                static_temporal_adj=t_adj))(x, x_bone)
 
-        x, new_layer_states = jax.lax.scan(
-            body, x, (params["layers"], state["layers"], is_first),
-            unroll=cfg.scan_unroll)
+        if cfg.n_layers > 1:
+            rest_p = jax.tree.map(lambda a: a[1:], params["layers"])
+            rest_s = jax.tree.map(lambda a: a[1:], state["layers"])
+            fw = fused_trunk_weights(rest_p)
+            # hoisted: the limb stream is loop-invariant, its normalize core
+            # is computed once for all 25 scanned layers
+            l_hat = _norm_core(x_limb).astype(dtype)
+
+            # remat the layer body: without it the scan saves every layer's
+            # activations for backward (26 x (B,27,17,512) MLP temps = ~9 GB
+            # at batch 256), blowing HBM. The policy keeps the
+            # attention-core outputs (the expensive recompute) and replays
+            # the cheap linears/norms.
+            @remat
+            def body(carry, step):
+                layer_params, layer_state, layer_fw = step
+                if cfg.fused_trunk:
+                    out, new_state = fused_trunk_layer_apply(
+                        layer_params, layer_fw, layer_state, carry, l_hat,
+                        cfg, train, adj, static_temporal_adj=t_adj)
+                else:
+                    out, new_state = trunk_layer_apply(
+                        layer_params, layer_state, carry, carry, x_limb, cfg,
+                        train, adj, static_temporal_adj=t_adj)
+                return out, new_state
+
+            x, rest_states = jax.lax.scan(
+                body, x, (rest_p, rest_s, fw), unroll=cfg.scan_unroll)
+            new_layer_states = jax.tree.map(
+                lambda a, b: jnp.concatenate([a[None], b], axis=0),
+                st0, rest_states)
+        else:
+            new_layer_states = jax.tree.map(lambda a: a[None], st0)
 
         x = L.layer_norm(params["norm"], x)
         x = jnp.tanh(L.linear(params["rep_logit"], x))

@@ -89,8 +89,10 @@ def mlp_init(key: jax.Array, dim_in: int, hidden: int, dim_out: int) -> Params:
 
 def mlp(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     """fc1 -> GELU -> fc2 (dropout-free: all shipped configs use drop=0;
-    torch GELU default is the exact erf form)."""
-    return linear(p["fc2"], jax.nn.gelu(linear(p["fc1"], x), approximate=False))
+    torch GELU default is the exact erf form). The hidden is named for remat
+    policies (no-op unless a surrounding jax.checkpoint saves 'mlp_hidden')."""
+    h = jax.nn.gelu(linear(p["fc1"], x), approximate=False)
+    return linear(p["fc2"], checkpoint_name(h, "mlp_hidden"))
 
 
 # ---------------------------------------------------------------- attention

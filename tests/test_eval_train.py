@@ -276,8 +276,36 @@ def test_train_step_tensor_parallel_matches_single_device():
                               jax.device_put(w, bsh), key)
 
     assert float(c1["loss_total"]) == pytest.approx(float(ctp["loss_total"]), rel=1e-5)
-    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(ptp)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+    # AdamW's first-step update is lr*g/(|g|+eps): where the true gradient is
+    # numerically ~0 (e.g. parts of the zero-init fusion gate), f32
+    # reduction-order noise between the meshed and single-device programs
+    # (measured <=5e-8 on the gradients) is AMPLIFIED to O(lr) param
+    # differences. Param mismatches are therefore only tolerated at elements
+    # whose actual gradient magnitude is below noise.
+    from kasportsformer_tpu.data.pipeline import take_batch, truncate_channels
+    from kasportsformer_tpu.train.loop import weighted_total_loss
+
+    @jax.jit
+    def grads_of(p):
+        def loss_fn(p):
+            x = truncate_channels(take_batch(arrays["inputs"], idx), 3)
+            y = take_batch(arrays["labels"], idx)
+            pred, _ = model.apply(p, state, x, train=True)
+            total, _ = weighted_total_loss(
+                pred, y, w, config.lambda_n_mpjpe, config.lambda_mpjpe_velocity)
+            return total
+        return jax.grad(loss_fn)(p)
+
+    g1 = grads_of(params)
+    for a, b, g in zip(jax.tree.leaves(p1), jax.tree.leaves(ptp),
+                       jax.tree.leaves(g1)):
+        a, b, g = np.asarray(a), np.asarray(b), np.asarray(g)
+        bad = np.abs(a - b) > 2e-5
+        if bad.any():
+            assert bool((np.abs(g)[bad] < 1e-6).all()), \
+                "param divergence at non-zero gradient"
+            assert bad.mean() < 0.02
 
 
 def test_evaluator_sharded_matches_single_device():
