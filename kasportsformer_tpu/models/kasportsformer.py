@@ -46,9 +46,12 @@ Params = dict[str, Any]
 # fused-body fusion-gate formulation A/B (see fused_trunk_layer_apply):
 # split per-branch gate matmuls (default) vs the reference's concat form
 _GATE_SPLIT = os.environ.get("KASF_GATE_SPLIT", "1") != "0"
-# stage-1 A/B: "wide" = one (C,6C) folded matmul; "sep" = per-branch LN +
-# projections (the per-module formulation)
-_STAGE1 = os.environ.get("KASF_STAGE1", "wide")
+# stage-1 A/B: "sep" (default) = per-branch LN + projections; "wide" = one
+# (C,6C) LN-folded matmul. Measured on v5e (round 3): wide is ~14% SLOWER
+# in-model (552 vs 644 clips/s at batch 128) — the single wide matmul +
+# output slices defeat XLA's LN->matmul->consumer fusions, which beat the
+# microbenchmark's apparent free width. See docs/ROUND_NOTES.md.
+_STAGE1 = os.environ.get("KASF_STAGE1", "sep")
 # graph LN-stream source A/B: bf16 xh (default; frees the f32 norm core
 # early) vs f32 xh
 _HG_BF16 = os.environ.get("KASF_HG_BF16", "1") != "0"
