@@ -55,6 +55,11 @@ _STAGE1 = os.environ.get("KASF_STAGE1", "sep")
 # graph LN-stream source A/B: bf16 xh (default; frees the f32 norm core
 # early) vs f32 xh
 _HG_BF16 = os.environ.get("KASF_HG_BF16", "1") != "0"
+# profiling-only branch ablation: "att" | "graph" | "bone" replaces that
+# branch's output with the input stream, so XLA dead-code-eliminates the
+# branch's entire compute — the only trustworthy in-model attribution
+# method on this hardware (docs/ROUND_NOTES.md). NEVER set in production.
+_ABLATE_BRANCH = os.environ.get("KASF_ABLATE", "")
 
 # (16, 17) selection matrix: row b = e[child_b] - e[parent_b], so
 # M @ joints_xy yields all bone vectors in one matmul. Kept as numpy — it
@@ -309,14 +314,20 @@ def fused_trunk_layer_apply(p: Params, fw: Params, state: Params,
         v_g = big[..., 3 * c : 4 * c]
         u_g = big[..., 4 * c : 5 * c]
         q_b = big[..., 5 * c : 6 * c]
-    else:  # per-branch LN + projections (A/B)
-        h_a = L.layer_norm(p["att_spatial"]["norm1"], x)
-        qkv_a = L.linear(p["att_spatial"]["mixer"]["qkv"], h_a)
-        h_gs = L.layer_norm(p["graph_spatial"]["norm1"], x)
+    else:
+        # per-branch projections off the SHARED norm core: the three
+        # branch LayerNorms differ only in affine params, so one stats
+        # pass feeds all three (x̂*s_i + b_i == LN_i(x) exactly in f32)
+        def affine(norm):
+            return (xh_f32 * norm["scale"] + norm["bias"]).astype(dtype)
+
+        qkv_a = L.linear(p["att_spatial"]["mixer"]["qkv"],
+                         affine(p["att_spatial"]["norm1"]))
+        h_gs = affine(p["graph_spatial"]["norm1"])
         v_g = L.linear(p["graph_spatial"]["mixer"]["V"], h_gs)
         u_g = L.linear(p["graph_spatial"]["mixer"]["U"], h_gs)
         q_b = L.linear(p["bone_spatial"]["mixer"]["q"],
-                       L.layer_norm(p["bone_spatial"]["norm1"], x))
+                       affine(p["bone_spatial"]["norm1"]))
     kv = l_hat @ fw["wkv"].astype(dtype) + fw["bkv"].astype(dtype)
     k_sp, v_sp, k_t, v_t = jnp.split(kv, 4, axis=-1)
 
@@ -332,7 +343,9 @@ def fused_trunk_layer_apply(p: Params, fw: Params, state: Params,
     # --- graph branch (spatial GCN inline: V/U came from the fused matmul)
     p_gs = p["graph_spatial"]
     b_, t_, j_, _ = x.shape
-    if _HG_BF16:
+    if _STAGE1 != "wide":
+        h_g = h_gs  # already computed off the shared norm core
+    elif _HG_BF16:
         h_g = (xh * p_gs["norm1"]["scale"].astype(dtype)
                + p_gs["norm1"]["bias"].astype(dtype))
     else:
@@ -357,6 +370,13 @@ def fused_trunk_layer_apply(p: Params, fw: Params, state: Params,
     core = L._sdpa(q_t, k_t, v_t, scale, "temporal", heads)
     x_bone = _mixer_tail(p_bt, x_bone, L.linear(p_bt["mixer"]["proj"], core),
                          use_ls)
+
+    if _ABLATE_BRANCH == "att":
+        x_attn = x
+    elif _ABLATE_BRANCH == "graph":
+        x_graph = x
+    elif _ABLATE_BRANCH == "bone":
+        x_bone = x
 
     # --- adaptive 3-way fusion, concat split into per-branch gate matmuls
     if cfg.use_adaptive_fusion:
