@@ -79,21 +79,30 @@ def main() -> int:
             break
 
     # secondary: fused train-step throughput (fwd+bwd+AdamW), reported to
-    # stderr only — the driver's one JSON line stays the inference metric
+    # stderr only — the driver's one JSON line stays the inference metric.
+    # Batch 128 + the mlp_hidden remat policy is the measured train sweet
+    # spot (round 3: 173 vs 154 clips/s; 256 is slower and the wider policy
+    # OOMs there).
     try:
         from kasportsformer_tpu.config import Config
+        from kasportsformer_tpu.models.kasportsformer import KASportsFormerConfig
         from kasportsformer_tpu.train.loop import make_optimizer, make_train_step
 
-        config = Config(batch_size=256, flip=True, compute_dtype="bfloat16")
+        tb = 128
+        config = Config(batch_size=tb, flip=True, compute_dtype="bfloat16")
+        tmodel = KASportsFormer(
+            KASportsFormerConfig(
+                remat_names=("attn_core", "gcn_agg", "mlp_hidden")),
+            compute_dtype=jnp.bfloat16)
         optimizer = make_optimizer(config)
         opt_state = optimizer.init(params)
-        step = make_train_step(model, config, optimizer)
+        step = make_train_step(tmodel, config, optimizer)
         arrays = {
             "inputs": jnp.asarray(rng.standard_normal((1024, 27, 17, 3)), jnp.float32),
             "labels": jnp.asarray(rng.standard_normal((1024, 27, 17, 3)), jnp.float32),
         }
-        idx = jnp.arange(256, dtype=jnp.int32)
-        w = jnp.ones(256, jnp.float32)
+        idx = jnp.arange(tb, dtype=jnp.int32)
+        w = jnp.ones(tb, jnp.float32)
         # thread the donated pytrees through (the step donates its inputs)
         params_t, state_t, opt_state_t, comps = step(
             params, state, opt_state, arrays, idx, w, jax.random.key(0))
@@ -109,7 +118,7 @@ def main() -> int:
                 jax.random.key(i))
         float(comps["loss_total"])
         step_t = (time.perf_counter() - t0) / n_iter
-        print(f"train step (batch 256): {256 / step_t:,.0f} clips/s "
+        print(f"train step (batch {tb}): {tb / step_t:,.0f} clips/s "
               f"({step_t * 1e3:.1f} ms/step)", file=sys.stderr)
     except Exception as e:
         print(f"train-step bench skipped: {type(e).__name__}: {e}",
