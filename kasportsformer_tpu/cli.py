@@ -265,20 +265,23 @@ def cmd_bench(args: argparse.Namespace) -> int:
     x = jnp.zeros((batch, config.n_frames, config.num_joints, config.dim_in),
                   jnp.float32)
     flops = _forward_flops(fwd, params, state, x)
-    fwd(params, state, x).block_until_ready()  # compile
-    times = []
+    # pipelined protocol: dispatch iters batches back-to-back, synchronize
+    # once by fetching a scalar (block_until_ready is a no-op through
+    # remote-TPU tunnels; a per-batch scalar sync costs ~30 ms there)
+    float(jnp.sum(fwd(params, state, x)))  # compile + warm
+    out = None
+    t0 = time.perf_counter()
     for _ in range(args.iters):
-        t0 = time.perf_counter()
-        fwd(params, state, x).block_until_ready()
-        times.append(time.perf_counter() - t0)
-    best = min(times)
+        out = fwd(params, state, x)
+    float(jnp.sum(out))
+    sec_per_batch = (time.perf_counter() - t0) / max(args.iters, 1)
     report = {
         "model": config.model_name,
         "params": n_params,
         "flops_per_clip": flops / batch if flops else None,
         "batch_size": batch,
-        "sec_per_batch": best,
-        "clips_per_sec": batch / best,
+        "sec_per_batch": sec_per_batch,
+        "clips_per_sec": batch / sec_per_batch,
         "device": str(jax.devices()[0]),
         "dtype": config.compute_dtype,
     }
