@@ -278,15 +278,15 @@ def fused_trunk_weights(lp: Params) -> Params:
 
 
 def _mixer_tail(p: Params, x: jnp.ndarray, mixed: jnp.ndarray,
-                use_layer_scale: bool) -> jnp.ndarray:
+                use_layer_scale: bool, train: bool) -> jnp.ndarray:
     """The FormerModule residual tail: x + LS1*mixed; x + LS2*MLP(LN(x))."""
     if use_layer_scale:
         x = x + p["ls1"].astype(x.dtype) * mixed
         x = x + p["ls2"].astype(x.dtype) * L.mlp(
-            p["mlp"], L.layer_norm(p["norm2"], x))
+            p["mlp"], L.layer_norm(p["norm2"], x), fused=not train)
     else:
         x = x + mixed
-        x = x + L.mlp(p["mlp"], L.layer_norm(p["norm2"], x))
+        x = x + L.mlp(p["mlp"], L.layer_norm(p["norm2"], x), fused=not train)
     return x
 
 
@@ -335,7 +335,8 @@ def fused_trunk_layer_apply(p: Params, fw: Params, state: Params,
     p_as = p["att_spatial"]
     q, k, v = jnp.split(qkv_a, 3, axis=-1)
     core = L._sdpa(q, k, v, scale, "spatial", heads)
-    x_attn = _mixer_tail(p_as, x, L.linear(p_as["mixer"]["proj"], core), use_ls)
+    x_attn = _mixer_tail(p_as, x, L.linear(p_as["mixer"]["proj"], core),
+                         use_ls, train)
     x_attn, _ = L.former_module(
         p["att_temporal"], {}, x_attn, "attention", "temporal", heads, train,
         qk_scale=cfg.qkv_scale, use_layer_scale=use_ls)
@@ -356,7 +357,8 @@ def fused_trunk_layer_apply(p: Params, fw: Params, state: Params,
     normed, st_gs_bn = L.batch_norm_nodes(
         p_gs["mixer"]["bn"], state["graph_spatial"]["bn"], pre, train)
     gout = jax.nn.relu(h_g.reshape(b_ * t_, j_, c) + normed)
-    x_graph = _mixer_tail(p_gs, x, gout.reshape(b_, t_, j_, c), use_ls)
+    x_graph = _mixer_tail(p_gs, x, gout.reshape(b_, t_, j_, c), use_ls,
+                          train)
     x_graph, st_gt = L.former_module(
         p["graph_temporal"], state["graph_temporal"], x_graph, "graph",
         "temporal", heads, train, neighbour_num=cfg.neighbour_num,
@@ -365,11 +367,12 @@ def fused_trunk_layer_apply(p: Params, fw: Params, state: Params,
     # --- bone branch (cross-attention; K/V precomputed from the limb stream)
     p_bs, p_bt = p["bone_spatial"], p["bone_temporal"]
     core = L._sdpa(q_b, k_sp, v_sp, scale, "spatial", heads)
-    x_bone = _mixer_tail(p_bs, x, L.linear(p_bs["mixer"]["proj"], core), use_ls)
+    x_bone = _mixer_tail(p_bs, x, L.linear(p_bs["mixer"]["proj"], core),
+                         use_ls, train)
     q_t = L.linear(p_bt["mixer"]["q"], L.layer_norm(p_bt["norm1"], x_bone))
     core = L._sdpa(q_t, k_t, v_t, scale, "temporal", heads)
     x_bone = _mixer_tail(p_bt, x_bone, L.linear(p_bt["mixer"]["proj"], core),
-                         use_ls)
+                         use_ls, train)
 
     if _ABLATE_BRANCH == "att":
         x_attn = x

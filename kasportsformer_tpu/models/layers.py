@@ -87,10 +87,20 @@ def mlp_init(key: jax.Array, dim_in: int, hidden: int, dim_out: int) -> Params:
     }
 
 
-def mlp(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+def mlp(p: Params, x: jnp.ndarray, fused: bool = False) -> jnp.ndarray:
     """fc1 -> GELU -> fc2 (dropout-free: all shipped configs use drop=0;
     torch GELU default is the exact erf form). The hidden is named for remat
-    policies (no-op unless a surrounding jax.checkpoint saves 'mlp_hidden')."""
+    policies (no-op unless a surrounding jax.checkpoint saves 'mlp_hidden').
+
+    `fused=True` routes through the Pallas fused-MLP kernel on TPU
+    (hidden stays in VMEM — `ops/mlp.py`); callers enable it on inference
+    paths, while training keeps the XLA form whose named hidden the trunk
+    remat policy saves."""
+    if fused:
+        from kasportsformer_tpu.ops.mlp import fused_mlp
+
+        return fused_mlp(x, p["fc1"]["w"], p["fc1"]["b"],
+                         p["fc2"]["w"], p["fc2"]["b"])
     h = jax.nn.gelu(linear(p["fc1"], x), approximate=False)
     return linear(p["fc2"], checkpoint_name(h, "mlp_hidden"))
 
@@ -449,10 +459,11 @@ def former_module(p: Params, state: Params, x: jnp.ndarray, mixer_type: str,
 
     if use_layer_scale:
         x = x + p["ls1"].astype(x.dtype) * mixed
-        x = x + p["ls2"].astype(x.dtype) * mlp(p["mlp"], layer_norm(p["norm2"], x))
+        x = x + p["ls2"].astype(x.dtype) * mlp(p["mlp"], layer_norm(p["norm2"], x),
+                                               fused=not train)
     else:
         x = x + mixed
-        x = x + mlp(p["mlp"], layer_norm(p["norm2"], x))
+        x = x + mlp(p["mlp"], layer_norm(p["norm2"], x), fused=not train)
     return x, new_state
 
 

@@ -111,3 +111,48 @@ def test_masked_sdpa_tp_matches_single_device():
                                          force_pallas_interpret=True)
     )(qs, ks, vs)
     np.testing.assert_allclose(np.asarray(got), want, atol=2e-5, rtol=1e-4)
+
+
+def test_fused_mlp_pallas_interpret_matches_xla():
+    """Fused MLP kernel (interpret mode) == the XLA fc1/GELU/fc2 formulation;
+    the in-kernel polynomial erf (Mosaic has no erf primitive) is within
+    1.5e-7 of the exact form."""
+    from kasportsformer_tpu.ops.mlp import _mlp_xla, fused_mlp_pallas
+
+    m, c, hidden = 1024, 128, 512
+    x = jnp.asarray(RNG.standard_normal((m, c)), jnp.float32)
+    w1 = jnp.asarray(RNG.standard_normal((c, hidden)) * 0.05, jnp.float32)
+    b1 = jnp.asarray(RNG.standard_normal((hidden,)) * 0.05, jnp.float32)
+    w2 = jnp.asarray(RNG.standard_normal((hidden, c)) * 0.05, jnp.float32)
+    b2 = jnp.asarray(RNG.standard_normal((c,)) * 0.05, jnp.float32)
+    want = np.asarray(_mlp_xla(x, w1, b1, w2, b2))
+    got = np.asarray(fused_mlp_pallas(x, w1, b1, w2, b2, interpret=True))
+    np.testing.assert_allclose(got, want, atol=5e-6, rtol=1e-5)
+
+
+def test_fused_mlp_erf_polynomial_accuracy():
+    from kasportsformer_tpu.ops.mlp import _erf_f32
+
+    x = jnp.linspace(-6.0, 6.0, 4001)
+    want = jax.scipy.special.erf(x)
+    got = _erf_f32(x)
+    assert float(jnp.max(jnp.abs(got - want))) < 1e-6  # 1.5e-7 analytic + f32 eval rounding
+
+
+def test_fused_mlp_is_differentiable():
+    """custom VJP (XLA-recompute backward) == autodiff of the XLA form."""
+    from kasportsformer_tpu.ops.mlp import _mlp_xla, fused_mlp
+
+    m, c, hidden = 64, 128, 256
+    x = jnp.asarray(RNG.standard_normal((m, c)), jnp.float32)
+    w1 = jnp.asarray(RNG.standard_normal((c, hidden)) * 0.05, jnp.float32)
+    b1 = jnp.zeros((hidden,), jnp.float32)
+    w2 = jnp.asarray(RNG.standard_normal((hidden, c)) * 0.05, jnp.float32)
+    b2 = jnp.zeros((c,), jnp.float32)
+    g1 = jax.grad(lambda *a: jnp.sum(fused_mlp(*a) ** 2), argnums=(0, 1, 3))(
+        x, w1, b1, w2, b2)
+    g2 = jax.grad(lambda *a: jnp.sum(_mlp_xla(*a) ** 2), argnums=(0, 1, 3))(
+        x, w1, b1, w2, b2)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5,
+                                   rtol=1e-5)
