@@ -282,12 +282,9 @@ def _mixer_tail(p: Params, x: jnp.ndarray, mixed: jnp.ndarray,
     """The FormerModule residual tail: x + LS1*mixed; x + LS2*MLP(LN(x))."""
     if use_layer_scale:
         x = x + p["ls1"].astype(x.dtype) * mixed
-        x = x + p["ls2"].astype(x.dtype) * L.mlp(
-            p["mlp"], L.layer_norm(p["norm2"], x), fused=not train)
     else:
         x = x + mixed
-        x = x + L.mlp(p["mlp"], L.layer_norm(p["norm2"], x), fused=not train)
-    return x
+    return L.mlp_tail(p, x, use_layer_scale, train)
 
 
 def fused_trunk_layer_apply(p: Params, fw: Params, state: Params,

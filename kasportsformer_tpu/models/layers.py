@@ -105,6 +105,29 @@ def mlp(p: Params, x: jnp.ndarray, fused: bool = False) -> jnp.ndarray:
     return linear(p["fc2"], checkpoint_name(h, "mlp_hidden"))
 
 
+def mlp_tail(p: Params, x: jnp.ndarray, use_layer_scale: bool,
+             train: bool) -> jnp.ndarray:
+    """The FormerModule MLP tail: x + [ls2 ⊙] MLP(LN_norm2(x)).
+
+    Inference on TPU routes through the LN-folded Pallas kernel
+    (`ops/mlp.py:fused_mlp_ln`) — LN, both matmuls, GELU, LayerScale and the
+    residual add in one VMEM pass. Training keeps the XLA form whose named
+    'mlp_hidden' the trunk remat policy saves."""
+    if not train:
+        from kasportsformer_tpu.ops.mlp import fused_mlp_ln
+
+        mp, np_ = p["mlp"], p["norm2"]
+        ls2 = (p["ls2"] if use_layer_scale
+               else jnp.ones((x.shape[-1],), jnp.float32))
+        return fused_mlp_ln(x, np_["scale"], np_["bias"],
+                            mp["fc1"]["w"], mp["fc1"]["b"],
+                            mp["fc2"]["w"], mp["fc2"]["b"], ls2)
+    y = mlp(p["mlp"], layer_norm(p["norm2"], x), fused=False)
+    if use_layer_scale:
+        return x + p["ls2"].astype(x.dtype) * y
+    return x + y
+
+
 # ---------------------------------------------------------------- attention
 
 
@@ -459,12 +482,9 @@ def former_module(p: Params, state: Params, x: jnp.ndarray, mixer_type: str,
 
     if use_layer_scale:
         x = x + p["ls1"].astype(x.dtype) * mixed
-        x = x + p["ls2"].astype(x.dtype) * mlp(p["mlp"], layer_norm(p["norm2"], x),
-                                               fused=not train)
     else:
         x = x + mixed
-        x = x + mlp(p["mlp"], layer_norm(p["norm2"], x), fused=not train)
-    return x, new_state
+    return mlp_tail(p, x, use_layer_scale, train), new_state
 
 
 # ---------------------------------------------------------------- conv / TCN

@@ -37,6 +37,12 @@ from jax.experimental.pallas import tpu as pltpu
 # GCN) live in git history; their measured numbers are in
 # docs/ROUND_NOTES.md.
 ATTN_IMPL = os.environ.get("KASF_ATTN_IMPL", "grouped")
+# head-expansion build inside the kernel: "concat" tiles keys/values with
+# jnp.concatenate (lane-/sublane-misaligned at N=17 offsets — Mosaic lowers
+# these to masked shifts), "matmul" builds the key expansion with a one-hot
+# tiling-operator MXU dot and the value expansion with a broadcast+reshape
+# (sublane merge — allowed by Mosaic, unlike lane-dim reshapes).
+ATTN_BUILD = os.environ.get("KASF_ATTN_BUILD", "concat")
 
 
 @functools.lru_cache(maxsize=8)
@@ -49,7 +55,8 @@ def _head_mask(c: int, num_heads: int) -> np.ndarray:
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, mask_k_ref, mask_v_ref, seg_ref,
-                 out_ref, *, scale: float, num_heads: int):
+                 rep_ref, out_ref, *, scale: float, num_heads: int,
+                 build: str):
     blk, g0, n0, c0 = q_ref.shape
 
     def load(ref):
@@ -62,7 +69,14 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_k_ref, mask_v_ref, seg_ref,
 
     # km: (G, C, H*N) — keys transposed, tiled over heads, masked in VMEM
     kt = jnp.swapaxes(k, 1, 2)  # (G, C, N)
-    km = jnp.concatenate([kt] * h, axis=-1) * mask_k_ref[...][None]
+    if build == "matmul":
+        # lane tiling via the (N, H*N) tiling operator on the MXU instead of
+        # h lane-misaligned concats (Mosaic lowers those to masked shifts)
+        km = jax.lax.dot_general(
+            kt, rep_ref[...].astype(kt.dtype),
+            (((2,), (0,)), ((), ()))) * mask_k_ref[...][None]
+    else:
+        km = jnp.concatenate([kt] * h, axis=-1) * mask_k_ref[...][None]
     logits = jax.lax.dot_general(
         q, km, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32) * scale  # (G, N, H*N)
@@ -79,7 +93,14 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_k_ref, mask_v_ref, seg_ref,
     probs = (e / denom).astype(q.dtype)
 
     # vm: (G, H*N, C) — values tiled over heads, masked
-    vm = jnp.concatenate([v] * h, axis=1) * mask_v_ref[...][None]
+    if build == "matmul":
+        # sublane tiling by broadcast + merge-reshape (sublane merges are
+        # allowed by Mosaic, unlike lane-dim reshapes)
+        gb = v.shape[0]
+        vm = jnp.broadcast_to(v[:, None], (gb, h, n0, c0)).reshape(
+            gb, h * n0, c0) * mask_v_ref[...][None]
+    else:
+        vm = jnp.concatenate([v] * h, axis=1) * mask_v_ref[...][None]
     out = jax.lax.dot_general(
         probs, vm, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
@@ -108,19 +129,25 @@ def masked_sdpa_pallas(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                               np.ones((n, n), np.float32)))
     seg_spec = pl.BlockSpec((h * n, h * n), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
+    # (N, H*N) lane-tiling operator for the "matmul" build (9 KB; passed
+    # either way to keep one kernel signature)
+    rep = jnp.asarray(np.tile(np.eye(n, dtype=np.float32), (1, h)), q.dtype)
+    rep_spec = pl.BlockSpec((n, h * n), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale, num_heads=num_heads),
+        functools.partial(_attn_kernel, scale=scale, num_heads=num_heads,
+                          build=ATTN_BUILD),
         grid=(b // block_b,),
-        in_specs=[spec, spec, spec, mk_spec, mv_spec, seg_spec],
+        in_specs=[spec, spec, spec, mk_spec, mv_spec, seg_spec, rep_spec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         interpret=interpret,
-    )(q, k, v, mask_k, mask_v, seg)
+    )(q, k, v, mask_k, mask_v, seg, rep)
 
 
 def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, mask_k_ref, mask_v_ref,
                      seg_ref, rep_ref, dq_ref, dk_ref, dv_ref, *,
-                     scale: float, num_heads: int):
+                     scale: float, num_heads: int, build: str):
     """Backward of the masked attention, same VMEM expansions as forward.
 
     With P the per-head probs, the gradients in expanded (H*N) coordinates:
@@ -144,9 +171,23 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, mask_k_ref, mask_v_ref,
     h = num_heads
     f32 = jnp.float32
 
+    def tile_sublane(z):
+        # (G, N, C) -> (G, H*N, C) head tiling: broadcast + sublane merge
+        # ("matmul" build) or h sublane-offset concats ("concat")
+        if build == "matmul":
+            gb = z.shape[0]
+            return jnp.broadcast_to(z[:, None], (gb, h, n0, c0)).reshape(
+                gb, h * n0, c0)
+        return jnp.concatenate([z] * h, axis=1)
+
     # recompute probs (as in forward)
     kt = jnp.swapaxes(k, 1, 2)
-    km = jnp.concatenate([kt] * h, axis=-1) * mask_k_ref[...][None]
+    if build == "matmul":
+        km = jax.lax.dot_general(
+            kt, rep_ref[...].astype(kt.dtype),
+            (((2,), (0,)), ((), ()))) * mask_k_ref[...][None]
+    else:
+        km = jnp.concatenate([kt] * h, axis=-1) * mask_k_ref[...][None]
     logits = jax.lax.dot_general(
         q, km, (((2,), (1,)), ((0,), (0,))), preferred_element_type=f32) * scale
     rowmax = jnp.max(logits, axis=-1, keepdims=True)
@@ -155,7 +196,7 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, mask_k_ref, mask_v_ref,
                                 preferred_element_type=f32)
     probs = e / denom  # (G, N, H*N) f32
 
-    vm = jnp.concatenate([v] * h, axis=1) * mask_v_ref[...][None]  # (G,H*N,C)
+    vm = tile_sublane(v) * mask_v_ref[...][None]  # (G,H*N,C)
 
     # dv = E (P^T g ⊙ mask_v)
     dvm = jax.lax.dot_general(
@@ -177,7 +218,7 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, mask_k_ref, mask_v_ref,
     dlogits = (probs * (dprobs - correction) * scale).astype(q.dtype)
 
     # dq = dL K~  with K~ = head-tiled masked keys in (H*N, C) layout
-    ke = jnp.concatenate([k] * h, axis=1) * mask_v_ref[...][None]  # (G,H*N,C)
+    ke = tile_sublane(k) * mask_v_ref[...][None]  # (G,H*N,C)
     dq = jax.lax.dot_general(dlogits, ke, (((2,), (1,)), ((0,), (0,))),
                              preferred_element_type=f32)
 
@@ -218,7 +259,8 @@ def masked_sdpa_bwd_pallas(q, k, v, g, scale: float, num_heads: int,
 
     out_shape = [jax.ShapeDtypeStruct(q.shape, q.dtype)] * 3
     return pl.pallas_call(
-        functools.partial(_attn_bwd_kernel, scale=scale, num_heads=num_heads),
+        functools.partial(_attn_bwd_kernel, scale=scale, num_heads=num_heads,
+                          build=ATTN_BUILD),
         grid=(b,),
         in_specs=[spec, spec, spec, spec, cspec(mask_k), cspec(mask_v),
                   cspec(seg), cspec(rep)],
@@ -259,7 +301,10 @@ def masked_sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
     (flash-attention-style rematerialization — residuals are just q, k, v).
     """
     if (jax.default_backend() == "tpu" and q.shape[-1] % num_heads == 0
-            and ATTN_IMPL != "xla"):
+            and q.shape[-1] % 128 == 0 and ATTN_IMPL != "xla"):
+        # the % 128 gate: sub-lane-width channel dims (tiny debug/dryrun
+        # models) hit Mosaic layout-cast failures and gain nothing from the
+        # kernel — XLA handles them
         kernel = masked_sdpa_pallas
         if q.ndim == 4:
             return kernel(q, k, v, scale, num_heads)
@@ -301,7 +346,7 @@ def _masked_sdpa_fwd(q, k, v, scale, num_heads):
 def _masked_sdpa_bwd(scale, num_heads, residuals, g):
     q, k, v = residuals
     if (jax.default_backend() == "tpu" and q.shape[-1] % num_heads == 0
-            and ATTN_IMPL != "xla"):
+            and q.shape[-1] % 128 == 0 and ATTN_IMPL != "xla"):
         bwd = masked_sdpa_bwd_pallas
         if q.ndim == 4:
             return bwd(q, k, v, g, scale, num_heads)

@@ -8,10 +8,19 @@ resident across grid steps via constant BlockSpecs), so HBM traffic per
 MLP drops from ~5x to ~2x the activation size.
 
 GELU uses the exact-erf form (torch default, `model/modules/mlp.py`); the
-Mosaic TPU compiler has no erf primitive, so erf is evaluated with the
-Abramowitz & Stegun 7.1.26 rational polynomial (<=1.5e-7 analytic error
-+ f32 evaluation rounding, measured <1e-6 — three orders below bf16
-activation rounding; interpret-mode parity-tested).
+Mosaic TPU compiler has no erf primitive. Two in-kernel evaluations:
+
+* f32 compute: Abramowitz & Stegun 7.1.26 rational polynomial (<=1.5e-7
+  analytic error + f32 evaluation rounding, measured <1e-6 — three orders
+  below bf16 activation rounding) — keeps the strict-parity eval path
+  (`--matmul-precision highest`) at reference precision.
+* bf16 compute: a div/exp-free odd polynomial,
+  gelu(x) ~= 0.5x + x^2*Q(x^2) on |x|<=4 with linear/zero tails
+  (~14 VPU ops vs ~35+ incl. divide+exp for A&S). Max abs error 1.27e-4
+  (at the |x|=4 tail joint), ~45x below the bf16 rounding noise floor of
+  the following fc2 dot — measured round 3, and the dominant VPU-time
+  term in the kernel (the MXU dots are ~1.5 ns/row; the A&S transcendental
+  chain ~3x that).
 
 Differentiable: pallas_call has no autodiff rule, so `fused_mlp` carries a
 custom VJP that recomputes the backward through the XLA formulation
@@ -43,15 +52,38 @@ def _gelu_exact_f32(x: jnp.ndarray) -> jnp.ndarray:
     return 0.5 * x * (1.0 + _erf_f32(x * (2.0 ** -0.5)))
 
 
+# Q(s) coefficients, s = x^2, for gelu(x) ~= 0.5x + s*Q(s) on |x| <= 4
+# (weighted lstsq fit minimizing absolute gelu error; see module docstring)
+_GELU_POLY_B = 4.0
+_GELU_POLY_COEF = (
+    0.3986886712, -0.06592223389, 0.009528707336, -0.001013580463,
+    7.597136e-05, -3.751622179e-06, 1.082753984e-07, -1.371763255e-09,
+)
+
+
+def _gelu_poly_f32(x: jnp.ndarray) -> jnp.ndarray:
+    """div/exp-free GELU: odd polynomial core + exact linear/zero tails.
+    Max abs error 1.27e-4 — for bf16 activations only (sub-rounding)."""
+    s = x * x
+    q = jnp.float32(_GELU_POLY_COEF[-1])
+    for c in _GELU_POLY_COEF[-2::-1]:
+        q = q * s + jnp.float32(c)
+    core = 0.5 * x + s * q
+    b = jnp.float32(_GELU_POLY_B)
+    return jnp.where(x > b, x, jnp.where(x < -b, jnp.float32(0.0), core))
+
+
 def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref):
     x = x_ref[...]
     h = jax.lax.dot_general(
         x, w1_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     h = h + b1_ref[...].astype(jnp.float32)
-    # exact-erf GELU on the f32 accumulator, then one rounding to the
-    # compute dtype — the same rounding points as the XLA formulation
-    h = _gelu_exact_f32(h).astype(x.dtype)
+    # GELU on the f32 accumulator, then one rounding to the compute dtype
+    # — the same rounding points as the XLA formulation. bf16 compute uses
+    # the cheap polynomial (error sub-rounding); f32 keeps exact erf.
+    gelu_fn = _gelu_poly_f32 if x.dtype == jnp.bfloat16 else _gelu_exact_f32
+    h = gelu_fn(h).astype(x.dtype)
     out = jax.lax.dot_general(
         h, w2_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -101,6 +133,111 @@ def fused_mlp_pallas(x: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((m, c), x.dtype),
         interpret=interpret,
     )(x, w1, b1, w2, b2)
+
+
+def _mlp_ln_kernel(x_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                   ls_ref, out_ref, *, eps: float):
+    """Whole FormerModule tail in one VMEM pass:
+    out = x + ls ⊙ (GELU(LN(x) @ w1 + b1) @ w2 + b2).
+    Folding LN + LayerScale + residual into the MLP kernel removes four HBM
+    round-trips of the (M, C) stream per sub-block (LN write+read, MLP-out
+    write, residual read) — ~12 ms/batch across the flagship's 156 tails."""
+    x = x_ref[...]
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    xhat = (xf - mean) * jax.lax.rsqrt(var + eps)
+    a = (xhat * g_ref[...].astype(jnp.float32)
+         + be_ref[...].astype(jnp.float32)).astype(x.dtype)
+    h = jax.lax.dot_general(
+        a, w1_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    h = h + b1_ref[...].astype(jnp.float32)
+    gelu_fn = _gelu_poly_f32 if x.dtype == jnp.bfloat16 else _gelu_exact_f32
+    h = gelu_fn(h).astype(x.dtype)
+    out = jax.lax.dot_general(
+        h, w2_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    out = out + b2_ref[...].astype(jnp.float32)
+    out = xf + ls_ref[...].astype(jnp.float32) * out
+    out_ref[...] = out.astype(out_ref.dtype)
+
+
+def fused_mlp_ln_pallas(x: jnp.ndarray, gamma: jnp.ndarray, beta: jnp.ndarray,
+                        w1: jnp.ndarray, b1: jnp.ndarray, w2: jnp.ndarray,
+                        b2: jnp.ndarray, ls2: jnp.ndarray, eps: float = 1e-5,
+                        interpret: bool = False) -> jnp.ndarray:
+    """x: (M, C). Returns x + ls2 * MLP(LN(x)) as (M, C)."""
+    import functools
+
+    m, c = x.shape
+    hidden = w1.shape[1]
+    rows = _block_rows(m, c, hidden, x.dtype.itemsize)
+    if m % rows:
+        raise ValueError(f"no row block divides M={m}")
+    w1 = w1.astype(x.dtype)
+    w2 = w2.astype(x.dtype)
+    b1 = b1.astype(x.dtype).reshape(1, hidden)
+    b2 = b2.astype(x.dtype).reshape(1, c)
+    gamma = gamma.astype(jnp.float32).reshape(1, c)
+    beta = beta.astype(jnp.float32).reshape(1, c)
+    ls2 = ls2.astype(jnp.float32).reshape(1, c)
+    xspec = pl.BlockSpec((rows, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    def cspec(arr):
+        return pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        functools.partial(_mlp_ln_kernel, eps=eps),
+        grid=(m // rows,),
+        in_specs=[xspec, cspec(gamma), cspec(beta), cspec(w1), cspec(b1),
+                  cspec(w2), cspec(b2), cspec(ls2)],
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct((m, c), x.dtype),
+        interpret=interpret,
+    )(x, gamma, beta, w1, b1, w2, b2, ls2)
+
+
+def _mlp_ln_xla(x, gamma, beta, w1, b1, w2, b2, ls2, eps=1e-5):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    a = ((xf - mean) * jax.lax.rsqrt(var + eps) * gamma + beta).astype(x.dtype)
+    y = _mlp_xla(a, w1, b1, w2, b2)
+    return x + ls2.astype(x.dtype) * y
+
+
+@jax.custom_vjp
+def fused_mlp_ln(x: jnp.ndarray, gamma: jnp.ndarray, beta: jnp.ndarray,
+                 w1: jnp.ndarray, b1: jnp.ndarray, w2: jnp.ndarray,
+                 b2: jnp.ndarray, ls2: jnp.ndarray) -> jnp.ndarray:
+    """x + ls2 * MLP(LN(x)) — Pallas on TPU for well-shaped inputs, XLA
+    elsewhere. Pass ls2=ones for modules without LayerScale."""
+    c = x.shape[-1]
+    hidden = w1.shape[1]
+    if (jax.default_backend() == "tpu" and c % 128 == 0 and hidden % 128 == 0
+            and x.size // c >= 8):
+        m = x.size // c
+        rows = _block_rows(m, c, hidden, x.dtype.itemsize)
+        if m % rows == 0:
+            out = fused_mlp_ln_pallas(x.reshape(m, c), gamma, beta,
+                                      w1, b1, w2, b2, ls2)
+            return out.reshape(x.shape)
+    return _mlp_ln_xla(x, gamma, beta, w1, b1, w2, b2, ls2)
+
+
+def _fused_mlp_ln_fwd(x, gamma, beta, w1, b1, w2, b2, ls2):
+    return fused_mlp_ln(x, gamma, beta, w1, b1, w2, b2, ls2), (
+        x, gamma, beta, w1, b1, w2, b2, ls2)
+
+
+def _fused_mlp_ln_bwd(residuals, g):
+    _, vjp = jax.vjp(_mlp_ln_xla, *residuals)
+    return vjp(g)
+
+
+fused_mlp_ln.defvjp(_fused_mlp_ln_fwd, _fused_mlp_ln_bwd)
 
 
 def _mlp_xla(x, w1, b1, w2, b2):

@@ -59,6 +59,36 @@ def test_masked_sdpa_pallas_block_sizes():
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
 
 
+def test_masked_sdpa_pallas_matmul_build_matches_xla():
+    """The "matmul" head-expansion build (tiling-operator dot + sublane
+    broadcast) computes the same attention as the default concat build."""
+    from kasportsformer_tpu.ops import attention as A
+
+    q = RNG.standard_normal((2, 5, 17, 64)).astype(np.float32)
+    k = RNG.standard_normal((2, 5, 17, 64)).astype(np.float32)
+    v = RNG.standard_normal((2, 5, 17, 64)).astype(np.float32)
+    want = np.asarray(masked_sdpa_xla(jnp.asarray(q), jnp.asarray(k),
+                                      jnp.asarray(v), 0.3, 4))
+    old = A.ATTN_BUILD
+    A.ATTN_BUILD = "matmul"
+    try:
+        got = np.asarray(masked_sdpa_pallas(jnp.asarray(q), jnp.asarray(k),
+                                            jnp.asarray(v), 0.3, 4,
+                                            interpret=True))
+        gq = jnp.asarray(RNG.standard_normal((2, 5, 17, 64)), jnp.float32)
+        gots = A.masked_sdpa_bwd_pallas(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), gq, 0.3, 4,
+            interpret=True)
+    finally:
+        A.ATTN_BUILD = old
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+    _, vjp = jax.vjp(lambda a, b, c: masked_sdpa_xla(a, b, c, 0.3, 4),
+                     jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    for a, b in zip(gots, vjp(gq)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-4)
+
+
 def test_masked_sdpa_bwd_pallas_matches_autodiff():
     from kasportsformer_tpu.ops.attention import masked_sdpa_bwd_pallas
 
@@ -137,6 +167,78 @@ def test_fused_mlp_erf_polynomial_accuracy():
     want = jax.scipy.special.erf(x)
     got = _erf_f32(x)
     assert float(jnp.max(jnp.abs(got - want))) < 1e-6  # 1.5e-7 analytic + f32 eval rounding
+
+
+def test_fused_mlp_gelu_poly_accuracy():
+    """bf16-path GELU polynomial (div/exp-free): max abs error <= 1.5e-4
+    everywhere incl. the |x|=4 tail joints and far tails."""
+    from kasportsformer_tpu.ops.mlp import _gelu_poly_f32
+
+    x = jnp.linspace(-20.0, 20.0, 160001, dtype=jnp.float32)
+    want = jax.nn.gelu(x, approximate=False)
+    got = _gelu_poly_f32(x)
+    assert float(jnp.max(jnp.abs(got - want))) < 1.5e-4
+
+
+def test_fused_mlp_bf16_interpret_matches_xla():
+    """bf16 kernel (poly GELU) vs the bf16 XLA formulation: differences stay
+    at bf16-rounding scale, not poly-error scale."""
+    from kasportsformer_tpu.ops.mlp import _mlp_xla, fused_mlp_pallas
+
+    m, c, hidden = 512, 128, 512
+    x = jnp.asarray(RNG.standard_normal((m, c)), jnp.bfloat16)
+    w1 = jnp.asarray(RNG.standard_normal((c, hidden)) * 0.05, jnp.bfloat16)
+    b1 = jnp.asarray(RNG.standard_normal((hidden,)) * 0.05, jnp.bfloat16)
+    w2 = jnp.asarray(RNG.standard_normal((hidden, c)) * 0.05, jnp.bfloat16)
+    b2 = jnp.asarray(RNG.standard_normal((c,)) * 0.05, jnp.bfloat16)
+    want = np.asarray(_mlp_xla(x, w1, b1, w2, b2), np.float32)
+    got = np.asarray(fused_mlp_pallas(x, w1, b1, w2, b2, interpret=True),
+                     np.float32)
+    scale = np.maximum(np.abs(want), 1.0)
+    assert float(np.max(np.abs(got - want) / scale)) < 0.03
+
+
+def test_fused_mlp_ln_interpret_matches_xla():
+    """LN-folded MLP-tail kernel (LN+MLP+LayerScale+residual in one pass)
+    == the XLA formulation, f32."""
+    from kasportsformer_tpu.ops.mlp import _mlp_ln_xla, fused_mlp_ln_pallas
+
+    m, c, hidden = 512, 128, 512
+    x = jnp.asarray(RNG.standard_normal((m, c)), jnp.float32)
+    gamma = jnp.asarray(1.0 + 0.1 * RNG.standard_normal((c,)), jnp.float32)
+    beta = jnp.asarray(0.1 * RNG.standard_normal((c,)), jnp.float32)
+    w1 = jnp.asarray(RNG.standard_normal((c, hidden)) * 0.05, jnp.float32)
+    b1 = jnp.asarray(RNG.standard_normal((hidden,)) * 0.05, jnp.float32)
+    w2 = jnp.asarray(RNG.standard_normal((hidden, c)) * 0.05, jnp.float32)
+    b2 = jnp.asarray(RNG.standard_normal((c,)) * 0.05, jnp.float32)
+    ls2 = jnp.asarray(1e-5 * np.ones((c,)), jnp.float32)
+    want = np.asarray(_mlp_ln_xla(x, gamma, beta, w1, b1, w2, b2, ls2))
+    got = np.asarray(fused_mlp_ln_pallas(x, gamma, beta, w1, b1, w2, b2, ls2,
+                                         interpret=True))
+    np.testing.assert_allclose(got, want, atol=5e-6, rtol=1e-5)
+
+
+def test_fused_mlp_ln_is_differentiable():
+    from kasportsformer_tpu.ops.mlp import _mlp_ln_xla, fused_mlp_ln
+
+    m, c, hidden = 64, 128, 256
+    args = (
+        jnp.asarray(RNG.standard_normal((m, c)), jnp.float32),
+        jnp.asarray(1.0 + 0.1 * RNG.standard_normal((c,)), jnp.float32),
+        jnp.asarray(0.1 * RNG.standard_normal((c,)), jnp.float32),
+        jnp.asarray(RNG.standard_normal((c, hidden)) * 0.05, jnp.float32),
+        jnp.zeros((hidden,), jnp.float32),
+        jnp.asarray(RNG.standard_normal((hidden, c)) * 0.05, jnp.float32),
+        jnp.zeros((c,), jnp.float32),
+        jnp.asarray(np.full((c,), 0.5), jnp.float32),
+    )
+    g1 = jax.grad(lambda *a: jnp.sum(fused_mlp_ln(*a) ** 2),
+                  argnums=(0, 1, 3, 5, 7))(*args)
+    g2 = jax.grad(lambda *a: jnp.sum(_mlp_ln_xla(*a) ** 2),
+                  argnums=(0, 1, 3, 5, 7))(*args)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5,
+                                   rtol=1e-5)
 
 
 def test_fused_mlp_is_differentiable():
