@@ -113,6 +113,11 @@ def mlp_tail(p: Params, x: jnp.ndarray, use_layer_scale: bool,
     (`ops/mlp.py:fused_mlp_ln`) — LN, both matmuls, GELU, LayerScale and the
     residual add in one VMEM pass. Training keeps the XLA form whose named
     'mlp_hidden' the trunk remat policy saves."""
+    import os
+    if os.environ.get("KASF_ABLATE") == "mlp":
+        # profiling-only: drop every MLP tail so XLA dead-code-eliminates
+        # the sub-block — in-model attribution (docs/ROUND_NOTES.md)
+        return x
     if not train:
         from kasportsformer_tpu.ops.mlp import fused_mlp_ln
 
@@ -372,6 +377,11 @@ def gcn(p: Params, state: Params, x: jnp.ndarray, mode: str, train: bool,
         if static_temporal_adj is not None:
             norm_adj = normalize_adjacency(static_temporal_adj).astype(x.dtype)
             agg = jnp.einsum("ts,nsc->ntc", norm_adj, linear(p["V"], tokens))
+        elif __import__("os").environ.get("KASF_ABLATE") == "gcnt":
+            # profiling-only: skip the dynamic similarity/top-k adjacency
+            # build + aggregation (attribution of the temporal GCN's
+            # data-dependent part)
+            agg = linear(p["V"], tokens)
         else:
             sim = jnp.einsum("ntc,nsc->nts", tokens, tokens)
             # k-th largest via iterative max (VPU) — lax.top_k costs ~20x

@@ -300,6 +300,10 @@ def masked_sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
     recomputes the forward through the XLA formulation in the backward pass
     (flash-attention-style rematerialization — residuals are just q, k, v).
     """
+    if os.environ.get("KASF_ABLATE") == "attncore":
+        # profiling-only: identity attention core (returns v) so the kernel
+        # calls vanish — in-model attribution of the sdpa cores
+        return v
     if (jax.default_backend() == "tpu" and q.shape[-1] % num_heads == 0
             and q.shape[-1] % 128 == 0 and ATTN_IMPL != "xla"):
         # the % 128 gate: sub-lane-width channel dims (tiny debug/dryrun

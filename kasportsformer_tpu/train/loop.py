@@ -185,10 +185,11 @@ def warmup_lr(config: Config, epoch: int) -> float | None:
 # ------------------------------------------------------------ train step
 
 
-def make_train_step(model, config: Config, optimizer: optax.GradientTransformation):
-    """One fused jitted step: gather -> augment -> forward -> loss -> grads
-    -> AdamW. Under a mesh, sharding propagates from the donated params /
-    batch shardings; gradient all-reduce rides ICI automatically."""
+def make_grads_fn(model, config: Config):
+    """Gradient/loss computation shared by the train step (separated so the
+    microbatch accumulation is unit-testable against the full-batch form):
+    returns `compute(params, state, x, y, weights, key) -> (grads, comps,
+    new_state)`."""
 
     # Zoo models with stochastic depth take a `key` kwarg in apply (e.g.
     # MixSTE/DSTFormer, ≙ reference dpr defaults `model/MixSTE.py:414`);
@@ -216,6 +217,76 @@ def make_train_step(model, config: Config, optimizer: optax.GradientTransformati
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
+    def _grads_and_comps(params, state, x, y, weights, model_key):
+        """Full-batch or microbatch-accumulated gradient of the SAME
+        weighted-mean objective.
+
+        With `config.grad_microbatch = m > 0` the batch is processed as a
+        `lax.scan` over B/m chunks whose per-chunk gradients are combined
+        with their real-sample weight sums — algebraically identical to the
+        full-batch weighted mean (loss comps too). Each scan step runs its
+        own forward+backward, so live activation memory is that of an
+        m-clip backward: lighter remat policies (or none) fit HBM. Model
+        state (GCN batch-norm) threads through the scan, giving
+        per-microbatch statistics — the reference DataParallel's
+        per-replica semantics (layers.batch_norm_nodes docstring)."""
+        m = config.grad_microbatch
+        b = x.shape[0]
+        if not m or m >= b or b % m:
+            (_, (comps, new_state)), grads = grad_fn(
+                params, state, x, y, weights, model_key)
+            return grads, comps, new_state
+
+        n_micro = b // m
+        xm = x.reshape(n_micro, m, *x.shape[1:])
+        ym = y.reshape(n_micro, m, *y.shape[1:])
+        wm = weights.reshape(n_micro, m)
+        keys = jax.random.split(model_key, n_micro)
+
+        def body(carry, chunk):
+            state_c, grads_acc, comps_acc = carry
+            xc, yc, wc, kc = chunk
+            (_, (comps, state_n)), grads = grad_fn(
+                params, state_c, xc, yc, wc, kc)
+            sw = jnp.sum(wc)
+            grads_acc = jax.tree.map(
+                lambda a, g: a + g.astype(jnp.float32) * sw, grads_acc, grads)
+            # iterate over comps (not the accumulator) so a key mismatch
+            # raises at trace time instead of silently dropping a component
+            comps_acc = {k: comps_acc[k] + comps[k] * sw for k in comps}
+            return (state_n, grads_acc, comps_acc), None
+
+        grads0 = jax.tree.map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), params)
+        comps0 = {k: jnp.zeros((), jnp.float32)
+                  for k in ("loss_mpjpe", "loss_n_mpjpe", "loss_velocity",
+                            "loss_total")}
+        # limb-loss comps join when their lambdas are nonzero
+        if config.lambda_limb_len_var:
+            comps0["loss_limb_len_var"] = jnp.zeros((), jnp.float32)
+        if config.lambda_limb_len:
+            comps0["loss_limb_len"] = jnp.zeros((), jnp.float32)
+        if config.lambda_limb_cos_simi:
+            comps0["loss_limb_len_cos_simi"] = jnp.zeros((), jnp.float32)
+        if config.lambda_limb_cos_simi_velocity:
+            comps0["loss_limb_len_cos_simi_velocity"] = jnp.zeros(
+                (), jnp.float32)
+        (new_state, grads, comps), _ = jax.lax.scan(
+            body, (state, grads0, comps0), (xm, ym, wm, keys))
+        denom = jnp.maximum(jnp.sum(weights), 1.0)
+        grads = jax.tree.map(lambda g: g / denom, grads)
+        comps = {k: v / denom for k, v in comps.items()}
+        return grads, comps, new_state
+
+    return _grads_and_comps
+
+
+def make_train_step(model, config: Config, optimizer: optax.GradientTransformation):
+    """One fused jitted step: gather -> augment -> forward -> loss -> grads
+    -> AdamW. Under a mesh, sharding propagates from the donated params /
+    batch shardings; gradient all-reduce rides ICI automatically."""
+    grads_fn = make_grads_fn(model, config)
+
     # params/state/opt_state are donated: the update happens in place on
     # device (halves the optimizer-state memory traffic; callers must thread
     # the returned pytrees, as the Trainer does). No-op on CPU.
@@ -227,7 +298,7 @@ def make_train_step(model, config: Config, optimizer: optax.GradientTransformati
         if config.flip:
             x, y = random_flip_batch(flip_key, x, y)
         x = truncate_channels(x, config.input_channel_number)
-        (_, (comps, new_state)), grads = grad_fn(
+        grads, comps, new_state = grads_fn(
             params, state, x, y, weights, model_key)
         updates, new_opt_state = optimizer.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)

@@ -137,6 +137,73 @@ def test_train_step_reduces_loss():
     assert losses[-1] < losses[0] * 0.5, (losses[0], losses[-1])
 
 
+def test_grad_microbatch_matches_full_batch():
+    """grad_microbatch accumulation is the same weighted-mean objective: on a
+    batch-norm-free model (MixSTE — LN only) the microbatched gradients and
+    loss components must equal the full-batch ones. (Gradients, not the Adam
+    update: step-1 Adam is update ≈ lr·g/|g|, hypersensitive where g≈0.)"""
+    from kasportsformer_tpu.data.pipeline import (
+        device_put_clipset, take_batch, truncate_channels)
+    from kasportsformer_tpu.models.zoo.mixste import MixSTE, MixSTEConfig
+    from kasportsformer_tpu.train.loop import make_grads_fn
+
+    # drop_path 0: the microbatched step threads a different key per chunk,
+    # so only the deterministic model is exactly comparable
+    model = MixSTE(MixSTEConfig(depth=2, embed_dim=32, num_heads=4,
+                                drop_path_rate=0.0))
+    params, state = model.init(jax.random.key(0))
+    train_set, _ = _clipsets()
+    arrays = device_put_clipset(train_set)
+    idx = jnp.arange(8, dtype=jnp.int32)
+    # include padded samples so the weighted accumulation is exercised
+    w = jnp.asarray([1, 1, 1, 1, 1, 1, 0, 0], jnp.float32)
+    x = truncate_channels(take_batch(arrays["inputs"], idx), 3)
+    y = take_batch(arrays["labels"], idx)
+
+    def run(grad_microbatch):
+        config = Config(batch_size=8, flip=False, learning_rate=1e-3,
+                        grad_microbatch=grad_microbatch)
+        grads, comps, _ = jax.jit(make_grads_fn(model, config))(
+            params, state, x, y, w, jax.random.key(3))
+        return grads, {k: float(v) for k, v in comps.items()}
+
+    g_full, c_full = run(0)
+    g_micro, c_micro = run(4)
+    assert set(c_full) == set(c_micro)
+    for k in c_full:
+        assert c_micro[k] == pytest.approx(c_full[k], rel=1e-5), k
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6),
+        g_full, g_micro)
+
+
+def test_grad_microbatch_flagship_smoke():
+    """Microbatched step on the flagship (GCN batch-norm state threads
+    through the scan): loss finite, BN running stats updated."""
+    from kasportsformer_tpu.data.pipeline import device_put_clipset
+    from kasportsformer_tpu.train.loop import make_optimizer, make_train_step
+
+    config = Config(batch_size=8, flip=True, learning_rate=1e-3,
+                    grad_microbatch=4)
+    model = _tiny_model()
+    params, state = model.init(jax.random.key(0))
+    train_set, _ = _clipsets()
+    arrays = device_put_clipset(train_set)
+    optimizer = make_optimizer(config)
+    step = make_train_step(model, config, optimizer)
+    idx = jnp.arange(8, dtype=jnp.int32)
+    w = jnp.ones(8, jnp.float32)
+    # the step donates state — snapshot the BN stats first
+    before = np.asarray(state["layers"]["graph_spatial"]["bn"]["mean"])
+    new_params, new_state, _, comps = step(
+        params, state, optimizer.init(params), arrays, idx, w,
+        jax.random.key(0))
+    assert math.isfinite(float(comps["loss_total"]))
+    after = np.asarray(new_state["layers"]["graph_spatial"]["bn"]["mean"])
+    assert not np.allclose(before, after)
+
+
 def test_lr_schedule_semantics():
     from kasportsformer_tpu.train.loop import ReduceLROnPlateau, warmup_lr
 
