@@ -68,9 +68,8 @@ def main() -> int:
             float(jnp.sum(out))
             elapsed = (time.perf_counter() - t0) / n_iter
             cps = batch / elapsed
-            times = [elapsed]
             print(f"batch {batch}: {cps:,.0f} clips/s "
-                  f"({min(times)*1e3:.2f} ms/batch)", file=sys.stderr)
+                  f"({elapsed*1e3:.2f} ms/batch)", file=sys.stderr)
             if cps > best:
                 best, best_batch = cps, batch
         except Exception as e:  # OOM at large batch etc.
