@@ -15,9 +15,21 @@ and (G, H*N, C) values are built on-chip, and both attention matmuls run as
 G-batched MXU dots with 128-deep contractions. HBM traffic is just
 q/k/v in + out.
 
-Numerics match the jnp reference exactly up to f32 accumulation order
-(masked channels contribute exact zeros). `masked_sdpa` dispatches to the
-kernel on TPU and to the jnp formulation elsewhere.
+Softmax normalization happens AFTER the value contraction (round-3 rework):
+the unnormalized exp weights go straight into the value dot, and the
+per-head denominators come out of a single flat (G*N, H*N) @ (H*N, C) dot
+against the value-side head mask — whose (h, j) -> head(c) structure
+broadcasts each head's sum across exactly its channels. That replaces the
+old in-lane-space normalization (a G-batched (N, H*N) @ (H*N, H*N)
+block-diagonal segment-sum dot + a 136-lane divide) with one large
+well-shaped matmul and a 128-lane divide — per sequence, MXU work drops
+from ~5 lane/K passes to ~3 and the VPU drops one full-width pass.
+
+Numerics match the jnp reference up to f32 accumulation order and one
+rounding point: the exp weights round to the compute dtype before the value
+dot (the old kernel rounded the normalized probabilities at the same spot).
+`masked_sdpa` dispatches to the kernel on TPU and to the jnp formulation
+elsewhere.
 """
 
 from __future__ import annotations
@@ -54,9 +66,33 @@ def _head_mask(c: int, num_heads: int) -> np.ndarray:
     return mask
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, mask_k_ref, mask_v_ref, seg_ref,
-                 rep_ref, out_ref, *, scale: float, num_heads: int,
-                 build: str):
+def _build_km(kt, mask_k, rep, h: int, build: str):
+    """(G, C, N) keys -> (G, C, H*N) head-tiled masked keys."""
+    if build == "matmul":
+        # lane tiling via the (N, H*N) tiling operator on the MXU instead of
+        # h lane-misaligned concats (Mosaic lowers those to masked shifts).
+        # Mosaic requires a 32-bit matmul accumulator; the operator is 0/1 so
+        # the f32 accumulate + cast is exact.
+        km = jax.lax.dot_general(
+            kt, rep.astype(kt.dtype), (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(kt.dtype)
+        return km * mask_k[None]
+    return jnp.concatenate([kt] * h, axis=-1) * mask_k[None]
+
+
+def _tile_sublane(z, h: int, build: str):
+    """(G, N, C) -> (G, H*N, C) head tiling: broadcast + sublane merge
+    ("matmul" build — sublane merges are allowed by Mosaic, unlike lane-dim
+    reshapes) or h sublane-offset concats ("concat")."""
+    if build == "matmul":
+        gb, n0, c0 = z.shape
+        return jnp.broadcast_to(z[:, None], (gb, h, n0, c0)).reshape(
+            gb, h * n0, c0)
+    return jnp.concatenate([z] * h, axis=1)
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, mask_k_ref, mask_v_ref, rep_ref,
+                 out_ref, *, scale: float, num_heads: int, build: str):
     blk, g0, n0, c0 = q_ref.shape
 
     def load(ref):
@@ -68,43 +104,37 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_k_ref, mask_v_ref, seg_ref,
     h = num_heads
 
     # km: (G, C, H*N) — keys transposed, tiled over heads, masked in VMEM
-    kt = jnp.swapaxes(k, 1, 2)  # (G, C, N)
-    if build == "matmul":
-        # lane tiling via the (N, H*N) tiling operator on the MXU instead of
-        # h lane-misaligned concats (Mosaic lowers those to masked shifts)
-        km = jax.lax.dot_general(
-            kt, rep_ref[...].astype(kt.dtype),
-            (((2,), (0,)), ((), ()))) * mask_k_ref[...][None]
-    else:
-        km = jnp.concatenate([kt] * h, axis=-1) * mask_k_ref[...][None]
+    km = _build_km(jnp.swapaxes(k, 1, 2), mask_k_ref[...], rep_ref[...], h,
+                   build)
     logits = jax.lax.dot_general(
         q, km, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32) * scale  # (G, N, H*N)
 
     # Per-head softmax WITHOUT splitting the lane dim (Mosaic can't reshape
     # it): subtract the row-global max (softmax is shift-invariant within
-    # each head segment), exponentiate, and compute per-segment sums by a
-    # matmul with a block-diagonal ones matrix.
+    # each head segment), exponentiate — and normalize AFTER the value
+    # contraction (see module docstring).
     rowmax = jnp.max(logits, axis=-1, keepdims=True)
-    e = jnp.exp(logits - rowmax)  # (G, N, H*N)
-    denom = jax.lax.dot_general(
-        e, seg_ref[...], (((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)  # (G, N, H*N)
-    probs = (e / denom).astype(q.dtype)
+    e = jnp.exp(logits - rowmax).astype(q.dtype)  # (G, N, H*N)
 
     # vm: (G, H*N, C) — values tiled over heads, masked
-    if build == "matmul":
-        # sublane tiling by broadcast + merge-reshape (sublane merges are
-        # allowed by Mosaic, unlike lane-dim reshapes)
-        gb = v.shape[0]
-        vm = jnp.broadcast_to(v[:, None], (gb, h, n0, c0)).reshape(
-            gb, h * n0, c0) * mask_v_ref[...][None]
-    else:
-        vm = jnp.concatenate([v] * h, axis=1) * mask_v_ref[...][None]
+    vm = _tile_sublane(v, h, build) * mask_v_ref[...][None]
     out = jax.lax.dot_general(
-        probs, vm, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
-    out_ref[...] = out.astype(out_ref.dtype).reshape(blk, g0, n0, c0)
+        e, vm, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # (G, N, C), unnormalized
+    # per-head softmax denominators, broadcast to each head's channels:
+    # mask_v[(h, j), c] = [head(c) == h], so e @ mask_v sums each head's exp
+    # weights and lands the sum on exactly that head's channel block.
+    # G-batched like the value dot (a flat (G*N, H*N) @ (H*N, C) dot would
+    # need a (G, N) sublane merge — Mosaic rejects it for 17-row bf16
+    # tiles); the broadcast of the mask over G is a free leading-dim view.
+    gb = e.shape[0]
+    mask_vb = jnp.broadcast_to(mask_v_ref[...][None], (gb, h * n0, c0))
+    denom = jax.lax.dot_general(
+        e, mask_vb, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # (G, N, C)
+    out_ref[...] = (out / denom).astype(out_ref.dtype).reshape(
+        blk, g0, n0, c0)
 
 
 def masked_sdpa_pallas(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
@@ -124,11 +154,6 @@ def masked_sdpa_pallas(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     mask_v = jnp.asarray(np.repeat(mask, n, axis=1).T, q.dtype)  # (H*N, C)
     mk_spec = pl.BlockSpec((c, h * n), lambda i: (0, 0), memory_space=pltpu.VMEM)
     mv_spec = pl.BlockSpec((h * n, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    # block-diagonal ones (H*N, H*N): segment-sum operator for the softmax
-    seg = jnp.asarray(np.kron(np.eye(h, dtype=np.float32),
-                              np.ones((n, n), np.float32)))
-    seg_spec = pl.BlockSpec((h * n, h * n), lambda i: (0, 0),
-                            memory_space=pltpu.VMEM)
     # (N, H*N) lane-tiling operator for the "matmul" build (9 KB; passed
     # either way to keep one kernel signature)
     rep = jnp.asarray(np.tile(np.eye(n, dtype=np.float32), (1, h)), q.dtype)
@@ -138,11 +163,11 @@ def masked_sdpa_pallas(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         functools.partial(_attn_kernel, scale=scale, num_heads=num_heads,
                           build=ATTN_BUILD),
         grid=(b // block_b,),
-        in_specs=[spec, spec, spec, mk_spec, mv_spec, seg_spec, rep_spec],
+        in_specs=[spec, spec, spec, mk_spec, mv_spec, rep_spec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         interpret=interpret,
-    )(q, k, v, mask_k, mask_v, seg, rep)
+    )(q, k, v, mask_k, mask_v, rep)
 
 
 def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, mask_k_ref, mask_v_ref,
@@ -157,7 +182,9 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, mask_k_ref, mask_v_ref,
       dq  = dL K~            (K~ = head-tiled masked keys, (H*N, C) layout)
       dK~ = dL^T q           -> dk = E (dK~ ⊙ mask_v)
     where E (N, H*N) is the identity tiled across heads (a segment-collapse
-    matmul) and SEG the block-diagonal ones used by the forward softmax.
+    matmul) and SEG the block-diagonal ones from the per-head softmax
+    normalization (the backward, unlike the forward, needs the normalized
+    probabilities in lane space — dL mixes P with per-head sums of P ⊙ dP).
     """
     blk, g0, n0, c0 = q_ref.shape
 
@@ -171,23 +198,9 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, mask_k_ref, mask_v_ref,
     h = num_heads
     f32 = jnp.float32
 
-    def tile_sublane(z):
-        # (G, N, C) -> (G, H*N, C) head tiling: broadcast + sublane merge
-        # ("matmul" build) or h sublane-offset concats ("concat")
-        if build == "matmul":
-            gb = z.shape[0]
-            return jnp.broadcast_to(z[:, None], (gb, h, n0, c0)).reshape(
-                gb, h * n0, c0)
-        return jnp.concatenate([z] * h, axis=1)
-
-    # recompute probs (as in forward)
-    kt = jnp.swapaxes(k, 1, 2)
-    if build == "matmul":
-        km = jax.lax.dot_general(
-            kt, rep_ref[...].astype(kt.dtype),
-            (((2,), (0,)), ((), ()))) * mask_k_ref[...][None]
-    else:
-        km = jnp.concatenate([kt] * h, axis=-1) * mask_k_ref[...][None]
+    # recompute probs (as in forward, but normalized in lane space)
+    km = _build_km(jnp.swapaxes(k, 1, 2), mask_k_ref[...], rep_ref[...], h,
+                   build)
     logits = jax.lax.dot_general(
         q, km, (((2,), (1,)), ((0,), (0,))), preferred_element_type=f32) * scale
     rowmax = jnp.max(logits, axis=-1, keepdims=True)
@@ -196,7 +209,7 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, mask_k_ref, mask_v_ref,
                                 preferred_element_type=f32)
     probs = e / denom  # (G, N, H*N) f32
 
-    vm = tile_sublane(v) * mask_v_ref[...][None]  # (G,H*N,C)
+    vm = _tile_sublane(v, h, build) * mask_v_ref[...][None]  # (G,H*N,C)
 
     # dv = E (P^T g ⊙ mask_v)
     dvm = jax.lax.dot_general(
@@ -218,7 +231,7 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, mask_k_ref, mask_v_ref,
     dlogits = (probs * (dprobs - correction) * scale).astype(q.dtype)
 
     # dq = dL K~  with K~ = head-tiled masked keys in (H*N, C) layout
-    ke = tile_sublane(k) * mask_v_ref[...][None]  # (G,H*N,C)
+    ke = _tile_sublane(k, h, build) * mask_v_ref[...][None]  # (G,H*N,C)
     dq = jax.lax.dot_general(dlogits, ke, (((2,), (1,)), ((0,), (0,))),
                              preferred_element_type=f32)
 
@@ -336,7 +349,7 @@ def _group_size(m: int, target: int = 32) -> int:
 def _vmem_group_target(c: int, n: int, num_heads: int, itemsize: int,
                        budget_bytes: int = 3 * 1024 * 1024) -> int:
     """Largest per-step group keeping the kernel's VMEM residents (km + vm
-    expansions, f32 logits + per-head sums) within budget."""
+    expansions, f32 logits + unnormalized out/denom) within budget."""
     per_seq = (2 * itemsize * c * num_heads * n        # km + vm expansions
                + 2 * 4 * n * num_heads * n             # f32 logits + denom
                + 4 * itemsize * c * n)                 # q/k/v/out blocks
@@ -417,4 +430,3 @@ def masked_sdpa_tp(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         wrapped = shard_map(local, mesh=mesh, in_specs=(spec, spec, spec),
                             out_specs=spec, check_rep=False)
     return wrapped(q, k, v)
-
