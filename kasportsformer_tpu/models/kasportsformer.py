@@ -272,8 +272,14 @@ def fused_trunk_weights(lp: Params) -> Params:
     return {
         "w1": jnp.concatenate([w_qkv, w_v, w_u, w_qb], axis=-1),
         "b1": jnp.concatenate([b_qkv, b_v, b_u, b_qb], axis=-1),
-        "wkv": jnp.concatenate([w_kvs, w_kvt], axis=-1),
-        "bkv": jnp.concatenate([b_kvs, b_kvt], axis=-1),
+        # spatial and temporal KV kept separate: the temporal pair projects
+        # off the TRANSPOSED limb core (tokens-major), so its K/V land
+        # directly in the temporal kernel's layout with no per-layer
+        # transposes
+        "wkv_sp": w_kvs,
+        "bkv_sp": b_kvs,
+        "wkv_t": w_kvt,
+        "bkv_t": b_kvt,
     }
 
 
@@ -289,6 +295,7 @@ def _mixer_tail(p: Params, x: jnp.ndarray, mixed: jnp.ndarray,
 
 def fused_trunk_layer_apply(p: Params, fw: Params, state: Params,
                             x: jnp.ndarray, l_hat: jnp.ndarray,
+                            l_hat_t: jnp.ndarray,
                             cfg: "KASportsFormerConfig", train: bool,
                             spatial_norm_adj: jnp.ndarray,
                             static_temporal_adj: jnp.ndarray | None = None
@@ -296,7 +303,8 @@ def fused_trunk_layer_apply(p: Params, fw: Params, state: Params,
     """One trunk layer for layers >= 1 — numerically the same computation as
     `trunk_layer_apply` with bone_in == x, restructured for the MXU (see the
     section comment above). `l_hat` is the hoisted limb-stream normalize
-    core; `fw` the per-layer `fused_trunk_weights` slice."""
+    core (`l_hat_t` its (B, J, T, C) transpose, hoisted once for all layers);
+    `fw` the per-layer `fused_trunk_weights` slice."""
     dtype = x.dtype
     c = cfg.dim_feat
     heads = cfg.num_heads
@@ -325,18 +333,29 @@ def fused_trunk_layer_apply(p: Params, fw: Params, state: Params,
         u_g = L.linear(p["graph_spatial"]["mixer"]["U"], h_gs)
         q_b = L.linear(p["bone_spatial"]["mixer"]["q"],
                        affine(p["bone_spatial"]["norm1"]))
-    kv = l_hat @ fw["wkv"].astype(dtype) + fw["bkv"].astype(dtype)
-    k_sp, v_sp, k_t, v_t = jnp.split(kv, 4, axis=-1)
+    kv_sp = l_hat @ fw["wkv_sp"].astype(dtype) + fw["bkv_sp"].astype(dtype)
+    k_sp, v_sp = jnp.split(kv_sp, 2, axis=-1)
+    # temporal bone K/V project off the transposed limb core: tokens-major
+    # from birth, no transposes around the temporal kernel call
+    kv_t = l_hat_t @ fw["wkv_t"].astype(dtype) + fw["bkv_t"].astype(dtype)
+    k_t, v_t = jnp.split(kv_t, 2, axis=-1)
 
-    # --- attention branch
-    p_as = p["att_spatial"]
+    # --- attention branch. The temporal FormerModule runs entirely in
+    # tokens-major (B, J, T, C) layout — one stream transpose in and one
+    # out, instead of 3 q/k/v transposes + 1 core transpose around the
+    # kernel (LN/linears/MLP only touch the channel axis, so the layout is
+    # free for them; math identical to L.former_module).
+    p_as, p_at = p["att_spatial"], p["att_temporal"]
     q, k, v = jnp.split(qkv_a, 3, axis=-1)
     core = L._sdpa(q, k, v, scale, "spatial", heads)
     x_attn = _mixer_tail(p_as, x, L.linear(p_as["mixer"]["proj"], core),
                          use_ls, train)
-    x_attn, _ = L.former_module(
-        p["att_temporal"], {}, x_attn, "attention", "temporal", heads, train,
-        qk_scale=cfg.qkv_scale, use_layer_scale=use_ls)
+    xt = x_attn.transpose(0, 2, 1, 3)
+    qkv_t = L.linear(p_at["mixer"]["qkv"], L.layer_norm(p_at["norm1"], xt))
+    q2, k2, v2 = jnp.split(qkv_t, 3, axis=-1)
+    core = L._sdpa_tokens(q2, k2, v2, scale, heads)
+    x_attn = _mixer_tail(p_at, xt, L.linear(p_at["mixer"]["proj"], core),
+                         use_ls, train).transpose(0, 2, 1, 3)
 
     # --- graph branch (spatial GCN inline: V/U came from the fused matmul)
     p_gs = p["graph_spatial"]
@@ -361,15 +380,18 @@ def fused_trunk_layer_apply(p: Params, fw: Params, state: Params,
         "temporal", heads, train, neighbour_num=cfg.neighbour_num,
         static_temporal_adj=static_temporal_adj, use_layer_scale=use_ls)
 
-    # --- bone branch (cross-attention; K/V precomputed from the limb stream)
+    # --- bone branch (cross-attention; K/V precomputed from the limb
+    # stream; the temporal module runs tokens-major like att_temporal, with
+    # its K/V already in that layout from the transposed limb core)
     p_bs, p_bt = p["bone_spatial"], p["bone_temporal"]
     core = L._sdpa(q_b, k_sp, v_sp, scale, "spatial", heads)
     x_bone = _mixer_tail(p_bs, x, L.linear(p_bs["mixer"]["proj"], core),
                          use_ls, train)
-    q_t = L.linear(p_bt["mixer"]["q"], L.layer_norm(p_bt["norm1"], x_bone))
-    core = L._sdpa(q_t, k_t, v_t, scale, "temporal", heads)
-    x_bone = _mixer_tail(p_bt, x_bone, L.linear(p_bt["mixer"]["proj"], core),
-                         use_ls, train)
+    xbt = x_bone.transpose(0, 2, 1, 3)
+    q_t = L.linear(p_bt["mixer"]["q"], L.layer_norm(p_bt["norm1"], xbt))
+    core = L._sdpa_tokens(q_t, k_t, v_t, scale, heads)
+    x_bone = _mixer_tail(p_bt, xbt, L.linear(p_bt["mixer"]["proj"], core),
+                         use_ls, train).transpose(0, 2, 1, 3)
 
     if _ABLATE_BRANCH == "att":
         x_attn = x
@@ -525,8 +547,10 @@ class KASportsFormer:
             rest_s = jax.tree.map(lambda a: a[1:], state["layers"])
             fw = fused_trunk_weights(rest_p)
             # hoisted: the limb stream is loop-invariant, its normalize core
-            # is computed once for all 25 scanned layers
+            # (and the tokens-major transpose the temporal bone K/V project
+            # from) is computed once for all 25 scanned layers
             l_hat = _norm_core(x_limb).astype(dtype)
+            l_hat_t = l_hat.transpose(0, 2, 1, 3)
 
             # remat the layer body: without it the scan saves every layer's
             # activations for backward (26 x (B,27,17,512) MLP temps = ~9 GB
@@ -539,7 +563,7 @@ class KASportsFormer:
                 if cfg.fused_trunk:
                     out, new_state = fused_trunk_layer_apply(
                         layer_params, layer_fw, layer_state, carry, l_hat,
-                        cfg, train, adj, static_temporal_adj=t_adj)
+                        l_hat_t, cfg, train, adj, static_temporal_adj=t_adj)
                 else:
                     out, new_state = trunk_layer_apply(
                         layer_params, layer_state, carry, carry, x_limb, cfg,
