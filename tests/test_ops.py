@@ -48,6 +48,20 @@ def test_masked_sdpa_pallas_interpret_matches_xla():
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
 
 
+def test_masked_sdpa_pallas_bf16_within_rounding():
+    """The kernel's post-normalized softmax rounds the exp weights to bf16
+    before the value dot (the XLA form rounds the normalized probs at the
+    same spot) — outputs must agree to bf16 rounding, not bitwise."""
+    q = RNG.standard_normal((2, 5, 17, 64)).astype(np.float32)
+    k = RNG.standard_normal((2, 5, 17, 64)).astype(np.float32)
+    v = RNG.standard_normal((2, 5, 17, 64)).astype(np.float32)
+    qb, kb, vb = (jnp.asarray(a, jnp.bfloat16) for a in (q, k, v))
+    want = np.asarray(masked_sdpa_xla(qb, kb, vb, 0.25, 4), np.float32)
+    got = np.asarray(
+        masked_sdpa_pallas(qb, kb, vb, 0.25, 4, interpret=True), np.float32)
+    np.testing.assert_allclose(got, want, atol=3e-2, rtol=3e-2)
+
+
 def test_masked_sdpa_pallas_block_sizes():
     q = RNG.standard_normal((4, 3, 9, 32)).astype(np.float32)
     want = np.asarray(masked_sdpa_pallas(jnp.asarray(q), jnp.asarray(q),
