@@ -118,7 +118,10 @@ def mlp_tail(p: Params, x: jnp.ndarray, use_layer_scale: bool,
         # profiling-only: drop every MLP tail so XLA dead-code-eliminates
         # the sub-block — in-model attribution (docs/ROUND_NOTES.md)
         return x
-    if not train:
+    # KASF_TRAIN_FUSED_MLP=1 routes TRAINING through the fused kernel too
+    # (its custom VJP recomputes grads via the XLA form — flash-style);
+    # pair it with a remat policy that drops 'mlp_hidden' (nothing named)
+    if not train or os.environ.get("KASF_TRAIN_FUSED_MLP") == "1":
         from kasportsformer_tpu.ops.mlp import fused_mlp_ln
 
         mp, np_ = p["mlp"], p["norm2"]

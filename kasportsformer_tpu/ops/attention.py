@@ -92,7 +92,8 @@ def _tile_sublane(z, h: int, build: str):
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, mask_k_ref, mask_v_ref, rep_ref,
-                 out_ref, *, scale: float, num_heads: int, build: str):
+                 out_ref, *, scale: float, num_heads: int, build: str,
+                 variant: str = "split"):
     blk, g0, n0, c0 = q_ref.shape
 
     def load(ref):
@@ -117,6 +118,21 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_k_ref, mask_v_ref, rep_ref,
     rowmax = jnp.max(logits, axis=-1, keepdims=True)
     e = jnp.exp(logits - rowmax).astype(q.dtype)  # (G, N, H*N)
 
+    if variant == "merged":
+        # One lane-doubled dot yields BOTH the unnormalized value
+        # contraction and the per-head denominators: RHS = [vm | mask_v].
+        # Measured NEUTRAL vs split on v5e (the kernel is not dot-issue
+        # bound) — kept for A/B only.
+        v2 = jnp.concatenate([v, jnp.ones_like(v)], axis=-1)  # (G, N, 2C)
+        mask2 = jnp.concatenate([mask_v_ref[...]] * 2, axis=-1)  # (H*N, 2C)
+        vm2 = _tile_sublane(v2, h, build) * mask2[None]  # (G, H*N, 2C)
+        outd = jax.lax.dot_general(
+            e, vm2, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)  # (G, N, 2C): [out | denom]
+        out_ref[...] = (outd[..., :c0] / outd[..., c0:]).astype(
+            out_ref.dtype).reshape(blk, g0, n0, c0)
+        return
+
     # vm: (G, H*N, C) — values tiled over heads, masked
     vm = _tile_sublane(v, h, build) * mask_v_ref[...][None]
     out = jax.lax.dot_general(
@@ -125,9 +141,6 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_k_ref, mask_v_ref, rep_ref,
     # per-head softmax denominators, broadcast to each head's channels:
     # mask_v[(h, j), c] = [head(c) == h], so e @ mask_v sums each head's exp
     # weights and lands the sum on exactly that head's channel block.
-    # G-batched like the value dot (a flat (G*N, H*N) @ (H*N, C) dot would
-    # need a (G, N) sublane merge — Mosaic rejects it for 17-row bf16
-    # tiles); the broadcast of the mask over G is a free leading-dim view.
     gb = e.shape[0]
     mask_vb = jnp.broadcast_to(mask_v_ref[...][None], (gb, h * n0, c0))
     denom = jax.lax.dot_general(
@@ -139,7 +152,9 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_k_ref, mask_v_ref, rep_ref,
 
 def masked_sdpa_pallas(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                        scale: float, num_heads: int, block_b: int = 1,
-                       interpret: bool = False) -> jnp.ndarray:
+                       interpret: bool = False,
+                       variant: str | None = None,
+                       build: str | None = None) -> jnp.ndarray:
     """q, k, v: (B, G, N, C) — attention over N, per (B, G). `block_b` batch
     elements are processed per grid step to amortize per-step overhead."""
     b, g, n, c = q.shape
@@ -160,8 +175,10 @@ def masked_sdpa_pallas(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     rep_spec = pl.BlockSpec((n, h * n), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale, num_heads=num_heads,
-                          build=ATTN_BUILD),
+        functools.partial(
+            _attn_kernel, scale=scale, num_heads=num_heads,
+            build=build or ATTN_BUILD,
+            variant=variant or os.environ.get("KASF_ATTN_VARIANT", "split")),
         grid=(b // block_b,),
         in_specs=[spec, spec, spec, mk_spec, mv_spec, rep_spec],
         out_specs=spec,
@@ -172,7 +189,8 @@ def masked_sdpa_pallas(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, mask_k_ref, mask_v_ref,
                      seg_ref, rep_ref, dq_ref, dk_ref, dv_ref, *,
-                     scale: float, num_heads: int, build: str):
+                     scale: float, num_heads: int, build: str,
+                     variant: str = "split"):
     """Backward of the masked attention, same VMEM expansions as forward.
 
     With P the per-head probs, the gradients in expanded (H*N) coordinates:
@@ -185,6 +203,13 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, mask_k_ref, mask_v_ref,
     matmul) and SEG the block-diagonal ones from the per-head softmax
     normalization (the backward, unlike the forward, needs the normalized
     probabilities in lane space — dL mixes P with per-head sums of P ⊙ dP).
+
+    variant="merged" (A/B only, measured -5% in-train on v5e): factors the
+    normalization out of the correction sum to merge the two SEG dots into
+    one sublane-stacked dot, merges the k/v expansions and the two segment
+    collapses into lane-doubled ops, and runs every dot in the input dtype.
+    The concats cost more VPU time than the merged dots save — the kernel
+    is not dot-issue bound.
     """
     blk, g0, n0, c0 = q_ref.shape
 
@@ -198,13 +223,61 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, mask_k_ref, mask_v_ref,
     h = num_heads
     f32 = jnp.float32
 
-    # recompute probs (as in forward, but normalized in lane space)
+    # recompute the unnormalized exp weights (as in forward)
     km = _build_km(jnp.swapaxes(k, 1, 2), mask_k_ref[...], rep_ref[...], h,
                    build)
     logits = jax.lax.dot_general(
         q, km, (((2,), (1,)), ((0,), (0,))), preferred_element_type=f32) * scale
     rowmax = jnp.max(logits, axis=-1, keepdims=True)
-    e = jnp.exp(logits - rowmax)
+    e = jnp.exp(logits - rowmax)  # (G, N, H*N) f32
+
+    if variant == "merged":
+        cdt = q.dtype
+        seg = seg_ref[...].astype(cdt)
+        rep = rep_ref[...].astype(cdt)
+        eb = e.astype(cdt)
+        # one lane-doubled expansion builds vm AND ke: [v | k] tiled + masked
+        vk = jnp.concatenate([v, k], axis=-1)  # (G, N, 2C)
+        mask2 = jnp.concatenate([mask_v_ref[...]] * 2, axis=-1)  # (H*N, 2C)
+        vk = _tile_sublane(vk, h, build) * mask2[None]  # (G, H*N, 2C)
+        vm = vk[..., :c0]
+        ke = vk[..., c0:]
+        dprobs = jax.lax.dot_general(
+            g, jnp.swapaxes(vm, 1, 2), (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=f32)  # (G, N, H*N)
+        ed = e * dprobs
+        # d and corrᵤ from ONE stacked seg dot: SEG is block-constant per
+        # head, so normalization factors out — (P⊙dP)@SEG == ((E⊙dP)@SEG)/d
+        stacked = jnp.concatenate([eb, ed.astype(cdt)], axis=1)  # (G,2N,H*N)
+        sums = jax.lax.dot_general(stacked, seg, (((2,), (0,)), ((), ())),
+                                   preferred_element_type=f32)
+        d = sums[:, :n0]
+        corr_u = sums[:, n0:]
+        dinv = 1.0 / d
+        probs = (e * dinv).astype(cdt)
+        dlogits = ((ed - e * (corr_u * dinv)) * dinv * scale).astype(cdt)
+        dq = jax.lax.dot_general(dlogits, ke, (((2,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=f32)
+        # dV~ = P^T g, dK~ = dL^T q — one lane-doubled mask + collapse
+        dvm = jax.lax.dot_general(
+            jnp.swapaxes(probs, 1, 2), g,
+            (((2,), (1,)), ((0,), (0,))), preferred_element_type=f32)
+        dkm = jax.lax.dot_general(
+            jnp.swapaxes(dlogits, 1, 2), q, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=f32)  # (G, H*N, C)
+        dvk = jnp.concatenate([dvm, dkm], axis=-1).astype(cdt) * mask2[None]
+        coll = jax.lax.dot_general(rep, dvk, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=f32)  # (N, G, 2C)
+        coll = jnp.swapaxes(coll, 0, 1)  # (G, N, 2C)
+
+        def store_m(ref, z):
+            ref[...] = z.astype(ref.dtype).reshape(blk, g0, n0, c0)
+
+        store_m(dq_ref, dq)
+        store_m(dk_ref, coll[..., c0:])
+        store_m(dv_ref, coll[..., :c0])
+        return
+
     denom = jax.lax.dot_general(e, seg_ref[...], (((2,), (0,)), ((), ())),
                                 preferred_element_type=f32)
     probs = e / denom  # (G, N, H*N) f32
@@ -254,7 +327,9 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, mask_k_ref, mask_v_ref,
 
 
 def masked_sdpa_bwd_pallas(q, k, v, g, scale: float, num_heads: int,
-                           interpret: bool = False):
+                           interpret: bool = False,
+                           variant: str | None = None,
+                           build: str | None = None):
     b, g0, n, c = q.shape
     h = num_heads
     spec = pl.BlockSpec((1,) + q.shape[1:3] + (c,), lambda i: (i, 0, 0, 0),
@@ -272,8 +347,10 @@ def masked_sdpa_bwd_pallas(q, k, v, g, scale: float, num_heads: int,
 
     out_shape = [jax.ShapeDtypeStruct(q.shape, q.dtype)] * 3
     return pl.pallas_call(
-        functools.partial(_attn_bwd_kernel, scale=scale, num_heads=num_heads,
-                          build=ATTN_BUILD),
+        functools.partial(
+            _attn_bwd_kernel, scale=scale, num_heads=num_heads,
+            build=build or ATTN_BUILD,
+            variant=variant or os.environ.get("KASF_ATTN_VARIANT", "split")),
         grid=(b,),
         in_specs=[spec, spec, spec, spec, cspec(mask_k), cspec(mask_v),
                   cspec(seg), cspec(rep)],
