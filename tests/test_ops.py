@@ -222,6 +222,17 @@ def test_fused_mlp_gelu_poly_accuracy():
     assert float(jnp.max(jnp.abs(got - want))) < 1.5e-4
 
 
+def test_fused_mlp_gelu_tanh_accuracy():
+    """bf16-path native-tanh GELU: max abs deviation from the exact erf
+    form <= 5e-4 everywhere (tanh saturates — no tail joints)."""
+    from kasportsformer_tpu.ops.mlp import _gelu_tanh_f32
+
+    x = jnp.linspace(-20.0, 20.0, 160001, dtype=jnp.float32)
+    want = jax.nn.gelu(x, approximate=False)
+    got = _gelu_tanh_f32(x)
+    assert float(jnp.max(jnp.abs(got - want))) < 5e-4
+
+
 def test_fused_mlp_bf16_interpret_matches_xla():
     """bf16 kernel (poly GELU) vs the bf16 XLA formulation: differences stay
     at bf16-rounding scale, not poly-error scale."""
