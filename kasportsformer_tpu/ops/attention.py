@@ -49,6 +49,18 @@ from jax.experimental.pallas import tpu as pltpu
 # GCN) live in git history; their measured numbers are in
 # docs/ROUND_NOTES.md.
 ATTN_IMPL = os.environ.get("KASF_ATTN_IMPL", "grouped")
+
+
+def _fwd_shape_defaults(n: int) -> tuple[str, str]:
+    """(variant, build) defaults for the FORWARD kernel, measured in-model
+    on v5e (round 3): split dots + the MXU tiling-operator build win overall
+    (926 clips/s @128 vs 906 concat); per-shape mixes (merged/concat for the
+    temporal N=27 shape, which microbenches slightly faster in isolation)
+    measured NET SLOWER in-model (905-910). KASF_ATTN_VARIANT /
+    KASF_ATTN_BUILD override. The backward prefers split+concat."""
+    variant = os.environ.get("KASF_ATTN_VARIANT")
+    build = os.environ.get("KASF_ATTN_BUILD")
+    return variant or "split", build or "matmul"
 # head-expansion build inside the kernel: "concat" tiles keys/values with
 # jnp.concatenate (lane-/sublane-misaligned at N=17 offsets — Mosaic lowers
 # these to masked shifts), "matmul" builds the key expansion with a one-hot
@@ -400,8 +412,10 @@ def masked_sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
         # models) hit Mosaic layout-cast failures and gain nothing from the
         # kernel — XLA handles them
         kernel = masked_sdpa_pallas
+        variant, build = _fwd_shape_defaults(q.shape[-2])
         if q.ndim == 4:
-            return kernel(q, k, v, scale, num_heads)
+            return kernel(q, k, v, scale, num_heads, variant=variant,
+                          build=build)
         if q.ndim == 3:
             # flat (M, N, C) token streams (MixSTE/DSTFormer family): group
             # M into (M/g, g) so each grid step amortizes over g sequences
@@ -411,7 +425,8 @@ def masked_sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
             if g > 1:
                 shape = (m // g, g) + q.shape[1:]
                 out = kernel(q.reshape(shape), k.reshape(shape),
-                             v.reshape(shape), scale, num_heads)
+                             v.reshape(shape), scale, num_heads,
+                             variant=variant, build=build)
                 return out.reshape(q.shape)
     return masked_sdpa_xla(q, k, v, scale, num_heads)
 

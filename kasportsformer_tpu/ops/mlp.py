@@ -14,13 +14,16 @@ Mosaic TPU compiler has no erf primitive. Two in-kernel evaluations:
   analytic error + f32 evaluation rounding, measured <1e-6 — three orders
   below bf16 activation rounding) — keeps the strict-parity eval path
   (`--matmul-precision highest`) at reference precision.
-* bf16 compute: a div/exp-free odd polynomial,
-  gelu(x) ~= 0.5x + x^2*Q(x^2) on |x|<=4 with linear/zero tails
-  (~14 VPU ops vs ~35+ incl. divide+exp for A&S). Max abs error 1.27e-4
-  (at the |x|=4 tail joint), ~45x below the bf16 rounding noise floor of
-  the following fc2 dot — measured round 3, and the dominant VPU-time
-  term in the kernel (the MXU dots are ~1.5 ns/row; the A&S transcendental
-  chain ~3x that).
+* bf16 compute (default "tanh"): the tanh-form GELU in logistic
+  coordinates on Mosaic's NATIVE sigmoid — x * sigma(c1*x + c3*x^3), 5
+  VPU ops on the hidden width, no tail handling. Max abs deviation from
+  exact erf 4.8e-4, ~8x below the bf16 rounding of the following fc2 dot.
+  An elementwise VPU op over the 4x-wide f32 hidden costs about as much
+  as the whole fc1 matmul (measured round 3) — GELU op count is the
+  kernel's dominant term, and this swap bought +4.4% whole-model forward
+  (868 -> 906 clips/s at batch 128). KASF_GELU=poly keeps the previous
+  14-op odd polynomial (div/exp-free, max err 1.27e-4, linear/zero tails
+  outside |x|<=4) for A/B.
 
 Differentiable: pallas_call has no autodiff rule, so `fused_mlp` carries a
 custom VJP that recomputes the backward through the XLA formulation
@@ -31,6 +34,7 @@ this kernel serves the inference/serving path.
 
 from __future__ import annotations
 
+import math
 import os
 
 import jax
@@ -79,7 +83,11 @@ def _gelu_tanh_f32(x: jnp.ndarray) -> jnp.ndarray:
     """tanh-form GELU on the NATIVE Mosaic tanh (~6 VPU ops, no tail
     selects — tanh saturates on its own). Max abs deviation from the exact
     erf form 4.8e-4, ~8x below the bf16 rounding of the following fc2 dot.
-    For bf16 activations only."""
+    For bf16 activations only.
+
+    Measured (v5e, in-model): this form 926 clips/s @128; the
+    algebraically-identical logistic form x*sigma(2w) 910 — lax.logistic
+    lowers to exp+divide in Mosaic, jnp.tanh is the native unit. Keep tanh."""
     s = x * x
     u = jnp.float32(0.7978845608 * 0.044715) * s + jnp.float32(0.7978845608)
     return 0.5 * x * (1.0 + jnp.tanh(x * u))
@@ -221,6 +229,176 @@ def fused_mlp_ln_pallas(x: jnp.ndarray, gamma: jnp.ndarray, beta: jnp.ndarray,
     )(x, gamma, beta, w1, b1, w2, b2, ls2)
 
 
+def _gelu_tanh_grad_f32(x: jnp.ndarray, sig: jnp.ndarray) -> jnp.ndarray:
+    """d/dx [x * sigma(u(x))], u = c1 x + c3 x^3, given sig = sigma(u(x))
+    from the recomputed forward: sig + x*sig*(1-sig)*(c1 + 3 c3 x^2)."""
+    c1 = jnp.float32(2 * 0.7978845608)
+    c3 = jnp.float32(2 * 0.7978845608 * 0.044715)
+    up = jnp.float32(3) * c3 * (x * x) + c1
+    return sig + x * (sig * (1.0 - sig)) * up
+
+
+def _gelu_exact_grad_f32(x: jnp.ndarray) -> jnp.ndarray:
+    """d/dx gelu(x) = Phi(x) + x phi(x) (exact-erf form, f32)."""
+    phi = jnp.exp(-0.5 * x * x) * jnp.float32(1.0 / math.sqrt(2.0 * math.pi))
+    cdf = 0.5 * (1.0 + _erf_f32(x * (2.0 ** -0.5)))
+    return cdf + x * phi
+
+
+def _mlp_ln_bwd_kernel(x_ref, g_ref, gam_ref, bet_ref, w1_ref, b1_ref,
+                       w2_ref, b2_ref, ls_ref,
+                       dx_ref, dgam_ref, dbet_ref, dw1_ref, db1_ref,
+                       dw2_ref, db2_ref, dls_ref, *, eps: float):
+    """Backward of the LN-folded MLP tail, entirely in VMEM.
+
+    Per row block: recompute LN -> fc1 -> GELU -> fc2 (flash-style — no
+    hidden is ever saved to HBM), then produce dx for the block and
+    ACCUMULATE the parameter gradients across grid steps (their BlockSpecs
+    map every step to the same block, so they stay VMEM-resident; zeroed at
+    step 0). This replaces XLA's tail backward, which at batch 128 paid
+    ~9.4 GB of saved-hidden HBM traffic plus thin-K replay matmuls — the
+    train step's dominant term (281 of 710 ms, docs/ROUND_NOTES.md).
+    """
+    i = pl.program_id(0)
+    f32 = jnp.float32
+    x = x_ref[...]
+    xf = x.astype(f32)
+    gf = g_ref[...].astype(f32)
+    bf16 = x.dtype == jnp.bfloat16
+
+    # --- recompute forward
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = (xf - mean) * rstd
+    gam = gam_ref[...].astype(f32)
+    a = (xhat * gam + bet_ref[...].astype(f32)).astype(x.dtype)
+    z = jax.lax.dot_general(a, w1_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=f32)
+    z = z + b1_ref[...].astype(f32)
+    if bf16:
+        s = z * z
+        u = jnp.float32(0.7978845608 * 0.044715) * s + jnp.float32(
+            0.7978845608)
+        # native tanh (lax.logistic lowers to exp+divide — see
+        # _gelu_tanh_f32); sigma(2w) = (1+tanh(w))/2 feeds the derivative
+        sig = 0.5 * (1.0 + jnp.tanh(z * u))
+        h = (z * sig).astype(x.dtype)
+        gp = _gelu_tanh_grad_f32(z, sig)
+    else:
+        h = _gelu_exact_f32(z).astype(x.dtype)
+        gp = _gelu_exact_grad_f32(z)
+    o = jax.lax.dot_general(h, w2_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=f32)
+    o = o + b2_ref[...].astype(f32)
+
+    # --- backward
+    ls = ls_ref[...].astype(f32)
+    do = (gf * ls).astype(x.dtype)  # (R, C)
+    # dh = do @ W2^T (contract both lane axes — MXU transposed-rhs form)
+    dh = jax.lax.dot_general(do, w2_ref[...], (((1,), (1,)), ((), ())),
+                             preferred_element_type=f32)  # (R, H)
+    dz = dh * gp
+    dzb = dz.astype(x.dtype)
+    da = jax.lax.dot_general(dzb, w1_ref[...], (((1,), (1,)), ((), ())),
+                             preferred_element_type=f32)  # (R, C)
+    dxhat = da * gam
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dx = gf + rstd * (dxhat - m1 - xhat * m2)
+    dx_ref[...] = dx.astype(dx_ref.dtype)
+
+    # --- parameter gradients, accumulated across the grid
+    @pl.when(i == 0)
+    def _init():
+        dgam_ref[...] = jnp.zeros_like(dgam_ref)
+        dbet_ref[...] = jnp.zeros_like(dbet_ref)
+        dw1_ref[...] = jnp.zeros_like(dw1_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+        db2_ref[...] = jnp.zeros_like(db2_ref)
+        dls_ref[...] = jnp.zeros_like(dls_ref)
+
+    dgam_ref[...] += jnp.sum(da * xhat, axis=0, keepdims=True)
+    dbet_ref[...] += jnp.sum(da, axis=0, keepdims=True)
+    dls_ref[...] += jnp.sum(gf * o, axis=0, keepdims=True)
+    db2_ref[...] += jnp.sum(do.astype(f32), axis=0, keepdims=True)
+    db1_ref[...] += jnp.sum(dz, axis=0, keepdims=True)
+    # dW2 = h^T do, dW1 = a^T dz — fat-K (rows) dots, f32 accumulation
+    dw2_ref[...] += jax.lax.dot_general(
+        h, do, (((0,), (0,)), ((), ())), preferred_element_type=f32)
+    dw1_ref[...] += jax.lax.dot_general(
+        a, dzb, (((0,), (0,)), ((), ())), preferred_element_type=f32)
+
+
+def _bwd_block_rows(m: int, c: int, hidden: int, itemsize: int,
+                    budget_bytes: int = 6 * 1024 * 1024) -> int:
+    """Row block for the bwd kernel: x/g/dx + the f32 recompute chain
+    (z, gelu', dz, o) + bf16 h/do within budget."""
+    per_row = (3 * c * itemsize          # x, g, dx
+               + 3 * c * 4               # xf, gf, da/dxhat f32
+               + 4 * hidden * 4          # z, gp, dz, o f32
+               + 2 * hidden * itemsize)  # h, dzb
+    rows = max(8, min(m, budget_bytes // per_row))
+    rows -= rows % 8
+    while rows >= 8 and m % rows:
+        rows -= 8
+    return rows
+
+
+def fused_mlp_ln_bwd_pallas(x, gamma, beta, w1, b1, w2, b2, ls2, g,
+                            eps: float = 1e-5, interpret: bool = False):
+    """Pallas backward of `fused_mlp_ln`. Returns grads for
+    (x, gamma, beta, w1, b1, w2, b2, ls2), primal-shaped."""
+    m, c = x.shape
+    hidden = w1.shape[1]
+    rows = _bwd_block_rows(m, c, hidden, x.dtype.itemsize)
+    if m % rows:
+        raise ValueError(f"no row block divides M={m}")
+    w1c = w1.astype(x.dtype)
+    w2c = w2.astype(x.dtype)
+    b1c = b1.astype(x.dtype).reshape(1, hidden)
+    b2c = b2.astype(x.dtype).reshape(1, c)
+    gam = gamma.astype(jnp.float32).reshape(1, c)
+    bet = beta.astype(jnp.float32).reshape(1, c)
+    ls = ls2.astype(jnp.float32).reshape(1, c)
+    xspec = pl.BlockSpec((rows, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    def cspec(arr):
+        return pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
+                            memory_space=pltpu.VMEM)
+
+    f32 = jnp.float32
+    out_shapes = [
+        jax.ShapeDtypeStruct((m, c), x.dtype),        # dx
+        jax.ShapeDtypeStruct((1, c), f32),            # dgamma
+        jax.ShapeDtypeStruct((1, c), f32),            # dbeta
+        jax.ShapeDtypeStruct((c, hidden), f32),       # dw1
+        jax.ShapeDtypeStruct((1, hidden), f32),       # db1
+        jax.ShapeDtypeStruct((hidden, c), f32),       # dw2
+        jax.ShapeDtypeStruct((1, c), f32),            # db2
+        jax.ShapeDtypeStruct((1, c), f32),            # dls2
+    ]
+    out_specs = [xspec] + [cspec(s) for s in out_shapes[1:]]
+    import functools as _ft
+
+    outs = pl.pallas_call(
+        _ft.partial(_mlp_ln_bwd_kernel, eps=eps),
+        grid=(m // rows,),
+        in_specs=[xspec, xspec, cspec(gam), cspec(bet), cspec(w1c),
+                  cspec(b1c), cspec(w2c), cspec(b2c), cspec(ls)],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(x, g, gam, bet, w1c, b1c, w2c, b2c, ls)
+    dx, dgam, dbet, dw1, db1, dw2, db2, dls = outs
+    return (dx, dgam.reshape(-1).astype(gamma.dtype),
+            dbet.reshape(-1).astype(beta.dtype), dw1.astype(w1.dtype),
+            db1.reshape(-1).astype(b1.dtype), dw2.astype(w2.dtype),
+            db2.reshape(-1).astype(b2.dtype),
+            dls.reshape(-1).astype(ls2.dtype))
+
+
 def _mlp_ln_xla(x, gamma, beta, w1, b1, w2, b2, ls2, eps=1e-5):
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
@@ -255,6 +433,18 @@ def _fused_mlp_ln_fwd(x, gamma, beta, w1, b1, w2, b2, ls2):
 
 
 def _fused_mlp_ln_bwd(residuals, g):
+    x, gamma, beta, w1, b1, w2, b2, ls2 = residuals
+    c = x.shape[-1]
+    hidden = w1.shape[1]
+    if (jax.default_backend() == "tpu" and c % 128 == 0 and hidden % 128 == 0
+            and x.size // c >= 8):
+        m = x.size // c
+        rows = _bwd_block_rows(m, c, hidden, x.dtype.itemsize)
+        if m % rows == 0:
+            grads = fused_mlp_ln_bwd_pallas(
+                x.reshape(m, c), gamma, beta, w1, b1, w2, b2, ls2,
+                g.reshape(m, c))
+            return (grads[0].reshape(x.shape),) + grads[1:]
     _, vjp = jax.vjp(_mlp_ln_xla, *residuals)
     return vjp(g)
 

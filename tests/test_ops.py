@@ -271,6 +271,62 @@ def test_fused_mlp_ln_interpret_matches_xla():
     np.testing.assert_allclose(got, want, atol=5e-6, rtol=1e-5)
 
 
+def test_fused_mlp_ln_bwd_pallas_matches_autodiff():
+    """The fused MLP-tail BACKWARD kernel (in-VMEM recompute + grid-
+    accumulated weight grads) == autodiff of the XLA formulation, f32."""
+    from kasportsformer_tpu.ops.mlp import (_mlp_ln_xla,
+                                            fused_mlp_ln_bwd_pallas)
+
+    m, c, hidden = 512, 128, 512
+    x = jnp.asarray(RNG.standard_normal((m, c)), jnp.float32)
+    gamma = jnp.asarray(1.0 + 0.1 * RNG.standard_normal((c,)), jnp.float32)
+    beta = jnp.asarray(0.1 * RNG.standard_normal((c,)), jnp.float32)
+    w1 = jnp.asarray(RNG.standard_normal((c, hidden)) * 0.05, jnp.float32)
+    b1 = jnp.asarray(RNG.standard_normal((hidden,)) * 0.05, jnp.float32)
+    w2 = jnp.asarray(RNG.standard_normal((hidden, c)) * 0.05, jnp.float32)
+    b2 = jnp.asarray(RNG.standard_normal((c,)) * 0.05, jnp.float32)
+    ls2 = jnp.asarray(np.full((c,), 0.5), jnp.float32)
+    g = jnp.asarray(RNG.standard_normal((m, c)), jnp.float32)
+    _, vjp = jax.vjp(_mlp_ln_xla, x, gamma, beta, w1, b1, w2, b2, ls2)
+    want = vjp(g)
+    got = fused_mlp_ln_bwd_pallas(x, gamma, beta, w1, b1, w2, b2, ls2, g,
+                                  interpret=True)
+    names = ["dx", "dgamma", "dbeta", "dw1", "db1", "dw2", "db2", "dls2"]
+    for name, a, b in zip(names, got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3,
+                                   rtol=2e-3, err_msg=name)
+
+
+def test_fused_mlp_ln_bwd_pallas_bf16_finite_and_close():
+    """bf16 backward kernel (sigmoid-form GELU derivative, consistent with
+    the bf16 forward): grads stay within bf16-rounding scale of the XLA
+    autodiff."""
+    from kasportsformer_tpu.ops.mlp import (_mlp_ln_xla,
+                                            fused_mlp_ln_bwd_pallas)
+
+    m, c, hidden = 256, 128, 512
+    x = jnp.asarray(RNG.standard_normal((m, c)), jnp.bfloat16)
+    gamma = jnp.asarray(1.0 + 0.1 * RNG.standard_normal((c,)), jnp.float32)
+    beta = jnp.asarray(0.1 * RNG.standard_normal((c,)), jnp.float32)
+    w1 = jnp.asarray(RNG.standard_normal((c, hidden)) * 0.05, jnp.bfloat16)
+    b1 = jnp.asarray(RNG.standard_normal((hidden,)) * 0.05, jnp.bfloat16)
+    w2 = jnp.asarray(RNG.standard_normal((hidden, c)) * 0.05, jnp.bfloat16)
+    b2 = jnp.asarray(RNG.standard_normal((c,)) * 0.05, jnp.bfloat16)
+    ls2 = jnp.asarray(np.full((c,), 0.5), jnp.float32)
+    g = jnp.asarray(RNG.standard_normal((m, c)), jnp.bfloat16)
+    _, vjp = jax.vjp(_mlp_ln_xla, x, gamma, beta, w1, b1, w2, b2, ls2)
+    want = vjp(g)
+    got = fused_mlp_ln_bwd_pallas(x, gamma, beta, w1, b1, w2, b2, ls2, g,
+                                  interpret=True)
+    names = ["dx", "dgamma", "dbeta", "dw1", "db1", "dw2", "db2", "dls2"]
+    for name, a, b in zip(names, got, want):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        assert np.isfinite(a).all(), name
+        scale = np.maximum(np.abs(b), np.abs(b).mean() + 1e-3)
+        assert float(np.max(np.abs(a - b) / scale)) < 0.15, name
+
+
 def test_fused_mlp_ln_is_differentiable():
     from kasportsformer_tpu.ops.mlp import _mlp_ln_xla, fused_mlp_ln
 
