@@ -79,9 +79,9 @@ def main() -> int:
 
     # secondary: fused train-step throughput (fwd+bwd+AdamW), reported to
     # stderr only — the driver's one JSON line stays the inference metric.
-    # Batch 128 + the mlp_hidden remat policy is the measured train sweet
-    # spot (round 3: 173 vs 154 clips/s; 256 is slower and the wider policy
-    # OOMs there).
+    # Batch 128 + fused MLP tails (Pallas fwd+bwd kernels) + the mlp_tail
+    # remat policy is the measured train sweet spot (round 3: 219 clips/s;
+    # 256 measures 199 — per-clip cost rises above the 128 sweet spot).
     try:
         from kasportsformer_tpu.config import Config
         from kasportsformer_tpu.models.kasportsformer import KASportsFormerConfig
@@ -91,7 +91,7 @@ def main() -> int:
         config = Config(batch_size=tb, flip=True, compute_dtype="bfloat16")
         tmodel = KASportsFormer(
             KASportsFormerConfig(
-                remat_names=("attn_core", "gcn_agg", "mlp_hidden")),
+                remat_names=("attn_core", "gcn_agg", "mlp_tail")),
             compute_dtype=jnp.bfloat16)
         optimizer = make_optimizer(config)
         opt_state = optimizer.init(params)

@@ -118,10 +118,13 @@ def mlp_tail(p: Params, x: jnp.ndarray, use_layer_scale: bool,
         # profiling-only: drop every MLP tail so XLA dead-code-eliminates
         # the sub-block — in-model attribution (docs/ROUND_NOTES.md)
         return x
-    # KASF_TRAIN_FUSED_MLP=1 routes TRAINING through the fused kernel too
-    # (its custom VJP recomputes grads via the XLA form — flash-style);
-    # pair it with a remat policy that drops 'mlp_hidden' (nothing named)
-    if not train or os.environ.get("KASF_TRAIN_FUSED_MLP") == "1":
+    # Training routes through the fused kernels too (default on): the
+    # custom VJP runs the fused BACKWARD kernel on TPU (in-VMEM recompute +
+    # grid-accumulated weight grads — ops/mlp.py), measured +22% train
+    # step (180 -> 219 clips/s at batch 128) with the 'mlp_tail' remat
+    # policy. KASF_TRAIN_FUSED_MLP=0 restores the XLA form whose named
+    # 'mlp_hidden' legacy policies save.
+    if not train or os.environ.get("KASF_TRAIN_FUSED_MLP", "1") != "0":
         from kasportsformer_tpu.ops.mlp import fused_mlp_ln
 
         mp, np_ = p["mlp"], p["norm2"]

@@ -73,12 +73,14 @@ def _build_kasportsformer(config):
         neighbour_num=config.neighbour_num,
         temporal_connection_len=config.temporal_connection_len,
         hierarchical=config.hierarchical,
-        # remat policy by train batch size (measured round 3, v5e): saving
-        # the MLP hiddens too is +12% train throughput at batch <=128
-        # (173 vs 154 clips/s) but OOMs the 16 GB HBM at 256.
-        remat_names=(("attn_core", "gcn_agg", "mlp_hidden")
-                     if config.batch_size <= 128
-                     else ("attn_core", "gcn_agg")),
+        # remat policy (measured round 3, v5e): with the fused MLP tails
+        # under training (their Pallas VJP recomputes in VMEM), saving the
+        # 15 MB/tail 'mlp_tail' outputs skips tail replay entirely — 219
+        # vs 211 clips/s at batch 128, and light enough for batch 256
+        # (the old 'mlp_hidden' policy saved 60 MB/tail and OOM'd there).
+        # 'mlp_hidden' stays listed for the KASF_TRAIN_FUSED_MLP=0 path,
+        # where the XLA-form MLP names it (unmatched names are inert).
+        remat_names=("attn_core", "gcn_agg", "mlp_tail", "mlp_hidden"),
     )
     dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32
     return KASportsFormer(cfg, compute_dtype=dtype)

@@ -24,6 +24,7 @@ from kasportsformer_tpu.utils.common import chunked_batch_apply  # noqa: E402
 def main() -> int:
     which = sys.argv[1] if len(sys.argv) > 1 else "both"
     batch = int(os.environ.get("KASF_PROBE_BATCH", "128"))
+    chunk = int(os.environ.get("KASF_PROBE_CHUNK", "128"))
     rng = np.random.default_rng(0)
     print(f"probe device: {jax.devices()[0]} batch={batch}", file=sys.stderr)
 
@@ -32,7 +33,7 @@ def main() -> int:
 
     if which in ("fwd", "both"):
         fwd = jax.jit(lambda p, s, x: chunked_batch_apply(
-            lambda xb: model.apply(p, s, xb, train=False)[0], x, 128))
+            lambda xb: model.apply(p, s, xb, train=False)[0], x, chunk))
         x = jnp.asarray(rng.standard_normal((batch, 27, 17, 3)), jnp.float32)
         float(jnp.sum(fwd(params, state, x)))
         n_iter = 8
@@ -50,7 +51,7 @@ def main() -> int:
 
         remat = tuple(
             n for n in os.environ.get(
-                "KASF_PROBE_REMAT", "attn_core,gcn_agg,mlp_hidden").split(",")
+                "KASF_PROBE_REMAT", "attn_core,gcn_agg,mlp_tail").split(",")
             if n) or None
         if os.environ.get("KASF_PROBE_REMAT") == "none":
             remat = None
