@@ -51,21 +51,24 @@ from jax.experimental.pallas import tpu as pltpu
 ATTN_IMPL = os.environ.get("KASF_ATTN_IMPL", "grouped")
 
 
-def _fwd_shape_defaults(n: int) -> tuple[str, str]:
-    """(variant, build) defaults for the FORWARD kernel, measured in-model
-    on v5e (round 3): split dots + the MXU tiling-operator build win overall
-    (926 clips/s @128 vs 906 concat); per-shape mixes (merged/concat for the
-    temporal N=27 shape, which microbenches slightly faster in isolation)
-    measured NET SLOWER in-model (905-910). KASF_ATTN_VARIANT /
-    KASF_ATTN_BUILD override. The backward prefers split+concat."""
-    variant = os.environ.get("KASF_ATTN_VARIANT")
-    build = os.environ.get("KASF_ATTN_BUILD")
-    return variant or "split", build or "matmul"
+def _fwd_build_default() -> str:
+    """Forward-kernel head-expansion build default, measured in-model on
+    v5e (round 3): the MXU tiling-operator "matmul" build beats "concat"
+    overall (926 clips/s @128 vs 906); the backward prefers "concat"
+    (flipping both via KASF_ATTN_BUILD measured net neutral in-train).
+    A lane-doubled "merged" value+denominator dot and per-shape build
+    mixes measured neutral-to-slower and were retired to git history
+    (docs/ROUND_NOTES.md)."""
+    return os.environ.get("KASF_ATTN_BUILD") or "matmul"
+
+
 # head-expansion build inside the kernel: "concat" tiles keys/values with
 # jnp.concatenate (lane-/sublane-misaligned at N=17 offsets — Mosaic lowers
 # these to masked shifts), "matmul" builds the key expansion with a one-hot
 # tiling-operator MXU dot and the value expansion with a broadcast+reshape
-# (sublane merge — allowed by Mosaic, unlike lane-dim reshapes).
+# (sublane merge — allowed by Mosaic, unlike lane-dim reshapes). This
+# module-level default feeds the BACKWARD kernel and direct
+# masked_sdpa_pallas calls; the forward dispatch uses _fwd_build_default().
 ATTN_BUILD = os.environ.get("KASF_ATTN_BUILD", "concat")
 
 
@@ -104,8 +107,7 @@ def _tile_sublane(z, h: int, build: str):
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, mask_k_ref, mask_v_ref, rep_ref,
-                 out_ref, *, scale: float, num_heads: int, build: str,
-                 variant: str = "split"):
+                 out_ref, *, scale: float, num_heads: int, build: str):
     blk, g0, n0, c0 = q_ref.shape
 
     def load(ref):
@@ -130,21 +132,6 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_k_ref, mask_v_ref, rep_ref,
     rowmax = jnp.max(logits, axis=-1, keepdims=True)
     e = jnp.exp(logits - rowmax).astype(q.dtype)  # (G, N, H*N)
 
-    if variant == "merged":
-        # One lane-doubled dot yields BOTH the unnormalized value
-        # contraction and the per-head denominators: RHS = [vm | mask_v].
-        # Measured NEUTRAL vs split on v5e (the kernel is not dot-issue
-        # bound) — kept for A/B only.
-        v2 = jnp.concatenate([v, jnp.ones_like(v)], axis=-1)  # (G, N, 2C)
-        mask2 = jnp.concatenate([mask_v_ref[...]] * 2, axis=-1)  # (H*N, 2C)
-        vm2 = _tile_sublane(v2, h, build) * mask2[None]  # (G, H*N, 2C)
-        outd = jax.lax.dot_general(
-            e, vm2, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)  # (G, N, 2C): [out | denom]
-        out_ref[...] = (outd[..., :c0] / outd[..., c0:]).astype(
-            out_ref.dtype).reshape(blk, g0, n0, c0)
-        return
-
     # vm: (G, H*N, C) — values tiled over heads, masked
     vm = _tile_sublane(v, h, build) * mask_v_ref[...][None]
     out = jax.lax.dot_general(
@@ -165,7 +152,6 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_k_ref, mask_v_ref, rep_ref,
 def masked_sdpa_pallas(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                        scale: float, num_heads: int, block_b: int = 1,
                        interpret: bool = False,
-                       variant: str | None = None,
                        build: str | None = None) -> jnp.ndarray:
     """q, k, v: (B, G, N, C) — attention over N, per (B, G). `block_b` batch
     elements are processed per grid step to amortize per-step overhead."""
@@ -187,10 +173,8 @@ def masked_sdpa_pallas(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     rep_spec = pl.BlockSpec((n, h * n), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(
-            _attn_kernel, scale=scale, num_heads=num_heads,
-            build=build or ATTN_BUILD,
-            variant=variant or os.environ.get("KASF_ATTN_VARIANT", "split")),
+        functools.partial(_attn_kernel, scale=scale, num_heads=num_heads,
+                          build=build or ATTN_BUILD),
         grid=(b // block_b,),
         in_specs=[spec, spec, spec, mk_spec, mv_spec, rep_spec],
         out_specs=spec,
@@ -201,8 +185,7 @@ def masked_sdpa_pallas(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, mask_k_ref, mask_v_ref,
                      seg_ref, rep_ref, dq_ref, dk_ref, dv_ref, *,
-                     scale: float, num_heads: int, build: str,
-                     variant: str = "split"):
+                     scale: float, num_heads: int, build: str):
     """Backward of the masked attention, same VMEM expansions as forward.
 
     With P the per-head probs, the gradients in expanded (H*N) coordinates:
@@ -216,12 +199,11 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, mask_k_ref, mask_v_ref,
     normalization (the backward, unlike the forward, needs the normalized
     probabilities in lane space — dL mixes P with per-head sums of P ⊙ dP).
 
-    variant="merged" (A/B only, measured -5% in-train on v5e): factors the
-    normalization out of the correction sum to merge the two SEG dots into
-    one sublane-stacked dot, merges the k/v expansions and the two segment
-    collapses into lane-doubled ops, and runs every dot in the input dtype.
-    The concats cost more VPU time than the merged dots save — the kernel
-    is not dot-issue bound.
+    A "merged" restructure (one sublane-stacked SEG dot via normalization
+    factoring, lane-doubled expansions/collapses, all-input-dtype dots)
+    measured -5% in-train on v5e and was retired to git history — the
+    concats cost more VPU time than the merged dots save; the kernel is
+    not dot-issue bound (docs/ROUND_NOTES.md).
     """
     blk, g0, n0, c0 = q_ref.shape
 
@@ -242,53 +224,6 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, mask_k_ref, mask_v_ref,
         q, km, (((2,), (1,)), ((0,), (0,))), preferred_element_type=f32) * scale
     rowmax = jnp.max(logits, axis=-1, keepdims=True)
     e = jnp.exp(logits - rowmax)  # (G, N, H*N) f32
-
-    if variant == "merged":
-        cdt = q.dtype
-        seg = seg_ref[...].astype(cdt)
-        rep = rep_ref[...].astype(cdt)
-        eb = e.astype(cdt)
-        # one lane-doubled expansion builds vm AND ke: [v | k] tiled + masked
-        vk = jnp.concatenate([v, k], axis=-1)  # (G, N, 2C)
-        mask2 = jnp.concatenate([mask_v_ref[...]] * 2, axis=-1)  # (H*N, 2C)
-        vk = _tile_sublane(vk, h, build) * mask2[None]  # (G, H*N, 2C)
-        vm = vk[..., :c0]
-        ke = vk[..., c0:]
-        dprobs = jax.lax.dot_general(
-            g, jnp.swapaxes(vm, 1, 2), (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=f32)  # (G, N, H*N)
-        ed = e * dprobs
-        # d and corrᵤ from ONE stacked seg dot: SEG is block-constant per
-        # head, so normalization factors out — (P⊙dP)@SEG == ((E⊙dP)@SEG)/d
-        stacked = jnp.concatenate([eb, ed.astype(cdt)], axis=1)  # (G,2N,H*N)
-        sums = jax.lax.dot_general(stacked, seg, (((2,), (0,)), ((), ())),
-                                   preferred_element_type=f32)
-        d = sums[:, :n0]
-        corr_u = sums[:, n0:]
-        dinv = 1.0 / d
-        probs = (e * dinv).astype(cdt)
-        dlogits = ((ed - e * (corr_u * dinv)) * dinv * scale).astype(cdt)
-        dq = jax.lax.dot_general(dlogits, ke, (((2,), (1,)), ((0,), (0,))),
-                                 preferred_element_type=f32)
-        # dV~ = P^T g, dK~ = dL^T q — one lane-doubled mask + collapse
-        dvm = jax.lax.dot_general(
-            jnp.swapaxes(probs, 1, 2), g,
-            (((2,), (1,)), ((0,), (0,))), preferred_element_type=f32)
-        dkm = jax.lax.dot_general(
-            jnp.swapaxes(dlogits, 1, 2), q, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=f32)  # (G, H*N, C)
-        dvk = jnp.concatenate([dvm, dkm], axis=-1).astype(cdt) * mask2[None]
-        coll = jax.lax.dot_general(rep, dvk, (((1,), (1,)), ((), ())),
-                                   preferred_element_type=f32)  # (N, G, 2C)
-        coll = jnp.swapaxes(coll, 0, 1)  # (G, N, 2C)
-
-        def store_m(ref, z):
-            ref[...] = z.astype(ref.dtype).reshape(blk, g0, n0, c0)
-
-        store_m(dq_ref, dq)
-        store_m(dk_ref, coll[..., c0:])
-        store_m(dv_ref, coll[..., :c0])
-        return
 
     denom = jax.lax.dot_general(e, seg_ref[...], (((2,), (0,)), ((), ())),
                                 preferred_element_type=f32)
@@ -340,7 +275,6 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, mask_k_ref, mask_v_ref,
 
 def masked_sdpa_bwd_pallas(q, k, v, g, scale: float, num_heads: int,
                            interpret: bool = False,
-                           variant: str | None = None,
                            build: str | None = None):
     b, g0, n, c = q.shape
     h = num_heads
@@ -359,10 +293,8 @@ def masked_sdpa_bwd_pallas(q, k, v, g, scale: float, num_heads: int,
 
     out_shape = [jax.ShapeDtypeStruct(q.shape, q.dtype)] * 3
     return pl.pallas_call(
-        functools.partial(
-            _attn_bwd_kernel, scale=scale, num_heads=num_heads,
-            build=build or ATTN_BUILD,
-            variant=variant or os.environ.get("KASF_ATTN_VARIANT", "split")),
+        functools.partial(_attn_bwd_kernel, scale=scale, num_heads=num_heads,
+                          build=build or ATTN_BUILD),
         grid=(b,),
         in_specs=[spec, spec, spec, spec, cspec(mask_k), cspec(mask_v),
                   cspec(seg), cspec(rep)],
@@ -412,10 +344,9 @@ def masked_sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
         # models) hit Mosaic layout-cast failures and gain nothing from the
         # kernel — XLA handles them
         kernel = masked_sdpa_pallas
-        variant, build = _fwd_shape_defaults(q.shape[-2])
+        build = _fwd_build_default()
         if q.ndim == 4:
-            return kernel(q, k, v, scale, num_heads, variant=variant,
-                          build=build)
+            return kernel(q, k, v, scale, num_heads, build=build)
         if q.ndim == 3:
             # flat (M, N, C) token streams (MixSTE/DSTFormer family): group
             # M into (M/g, g) so each grid step amortizes over g sequences
@@ -425,8 +356,7 @@ def masked_sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
             if g > 1:
                 shape = (m // g, g) + q.shape[1:]
                 out = kernel(q.reshape(shape), k.reshape(shape),
-                             v.reshape(shape), scale, num_heads,
-                             variant=variant, build=build)
+                             v.reshape(shape), scale, num_heads, build=build)
                 return out.reshape(q.shape)
     return masked_sdpa_xla(q, k, v, scale, num_heads)
 

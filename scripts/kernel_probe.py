@@ -50,43 +50,40 @@ def main() -> int:
           file=sys.stderr)
 
     if which in ("fwd", "all"):
-        for variant in ("split", "merged"):
-            for build in ("concat", "matmul"):
-                @jax.jit
-                def chain(q, k, v, variant=variant, build=build):
-                    def body(c, _):
-                        o = A.masked_sdpa_pallas(c, k, v, scale, HEADS,
-                                                 variant=variant, build=build)
-                        return o, ()
-                    out, _ = jax.lax.scan(body, q, None, length=ITERS)
-                    return jnp.sum(out)
+        for build in ("concat", "matmul"):
+            @jax.jit
+            def chain(q, k, v, build=build):
+                def body(c, _):
+                    o = A.masked_sdpa_pallas(c, k, v, scale, HEADS,
+                                             build=build)
+                    return o, ()
+                out, _ = jax.lax.scan(body, q, None, length=ITERS)
+                return jnp.sum(out)
 
-                try:
-                    ms = timeit(chain, q, k, v)
-                    print(f"fwd {variant:7s} {build:7s}: {ms:6.3f} ms/call")
-                except Exception as e:
-                    print(f"fwd {variant:7s} {build:7s}: FAILED "
-                          f"{type(e).__name__}: {str(e)[:200]}")
+            try:
+                ms = timeit(chain, q, k, v)
+                print(f"fwd {build:7s}: {ms:6.3f} ms/call")
+            except Exception as e:
+                print(f"fwd {build:7s}: FAILED "
+                      f"{type(e).__name__}: {str(e)[:200]}")
 
     if which in ("bwd", "all"):
-        for variant in ("split", "merged"):
-            for build in ("concat",):
-                @jax.jit
-                def chainb(q, k, v, gr, variant=variant, build=build):
-                    def body(c, _):
-                        dq, dk, dv = A.masked_sdpa_bwd_pallas(
-                            c, k, v, gr, scale, HEADS, variant=variant,
-                            build=build)
-                        return dq, (jnp.sum(dk) + jnp.sum(dv)).astype(q.dtype)
-                    out, extra = jax.lax.scan(body, q, None, length=ITERS)
-                    return jnp.sum(out) + jnp.sum(extra)
+        for build in ("concat", "matmul"):
+            @jax.jit
+            def chainb(q, k, v, gr, build=build):
+                def body(c, _):
+                    dq, dk, dv = A.masked_sdpa_bwd_pallas(
+                        c, k, v, gr, scale, HEADS, build=build)
+                    return dq, (jnp.sum(dk) + jnp.sum(dv)).astype(q.dtype)
+                out, extra = jax.lax.scan(body, q, None, length=ITERS)
+                return jnp.sum(out) + jnp.sum(extra)
 
-                try:
-                    ms = timeit(chainb, q, k, v, gr)
-                    print(f"bwd {variant:7s} {build:7s}: {ms:6.3f} ms/call")
-                except Exception as e:
-                    print(f"bwd {variant:7s} {build:7s}: FAILED "
-                          f"{type(e).__name__}: {str(e)[:200]}")
+            try:
+                ms = timeit(chainb, q, k, v, gr)
+                print(f"bwd {build:7s}: {ms:6.3f} ms/call")
+            except Exception as e:
+                print(f"bwd {build:7s}: FAILED "
+                      f"{type(e).__name__}: {str(e)[:200]}")
     return 0
 
 
