@@ -51,15 +51,22 @@ from jax.experimental.pallas import tpu as pltpu
 ATTN_IMPL = os.environ.get("KASF_ATTN_IMPL", "grouped")
 
 
-def _fwd_build_default() -> str:
+def _fwd_build_default(n: int) -> str:
     """Forward-kernel head-expansion build default, measured in-model on
-    v5e (round 3): the MXU tiling-operator "matmul" build beats "concat"
-    overall (926 clips/s @128 vs 906); the backward prefers "concat"
+    v5e (round 3): for the flagship's short sequences (N=17/27) the MXU
+    tiling-operator "matmul" build beats "concat" overall (926 clips/s
+    @128 vs 906). For long sequences the (N, H*N) tiling operator grows
+    quadratically and the MXU dot loses to the masked shifts — KTPFormer's
+    N=243 temporal attention measured -33% under matmul (zoo bench), so
+    large N keeps "concat". The backward prefers "concat" everywhere
     (flipping both via KASF_ATTN_BUILD measured net neutral in-train).
     A lane-doubled "merged" value+denominator dot and per-shape build
-    mixes measured neutral-to-slower and were retired to git history
-    (docs/ROUND_NOTES.md)."""
-    return os.environ.get("KASF_ATTN_BUILD") or "matmul"
+    mixes for the flagship measured neutral-to-slower and were retired to
+    git history (docs/ROUND_NOTES.md)."""
+    env = os.environ.get("KASF_ATTN_BUILD")
+    if env:
+        return env
+    return "matmul" if n <= 32 else "concat"
 
 
 # head-expansion build inside the kernel: "concat" tiles keys/values with
@@ -344,7 +351,7 @@ def masked_sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
         # models) hit Mosaic layout-cast failures and gain nothing from the
         # kernel — XLA handles them
         kernel = masked_sdpa_pallas
-        build = _fwd_build_default()
+        build = _fwd_build_default(q.shape[-2])
         if q.ndim == 4:
             return kernel(q, k, v, scale, num_heads, build=build)
         if q.ndim == 3:
