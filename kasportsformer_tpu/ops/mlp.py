@@ -99,8 +99,36 @@ def _gelu_tanh_f32(x: jnp.ndarray) -> jnp.ndarray:
 _GELU_IMPL = os.environ.get("KASF_GELU", "tanh")
 
 
+def _gelu2_tanh_f32(x: jnp.ndarray) -> jnp.ndarray:
+    """2*gelu(x) in tanh form: x + x*tanh(x*u) — the 0.5 is folded into a
+    pre-halved w2 by the kernel wrappers, saving two VPU ops (the 1+t add
+    and the 0.5 multiply become one fused multiply-add) on the kernel's
+    dominant term, the elementwise chain over the 4x-wide hidden."""
+    s = x * x
+    u = jnp.float32(0.7978845608 * 0.044715) * s + jnp.float32(0.7978845608)
+    return x + x * jnp.tanh(x * u)
+
+
+_GELU2_POLY_COEF = tuple(2.0 * c for c in _GELU_POLY_COEF)
+
+
+def _gelu2_poly_f32(x: jnp.ndarray) -> jnp.ndarray:
+    """2*gelu(x), polynomial form: coefficients pre-doubled, tails 2x/0."""
+    s = x * x
+    q = jnp.float32(_GELU2_POLY_COEF[-1])
+    for c in _GELU2_POLY_COEF[-2::-1]:
+        q = q * s + jnp.float32(c)
+    core = x + s * q
+    b = jnp.float32(_GELU_POLY_B)
+    return jnp.where(x > b, x + x, jnp.where(x < -b, jnp.float32(0.0), core))
+
+
 def _gelu_bf16(x: jnp.ndarray) -> jnp.ndarray:
     return _gelu_tanh_f32(x) if _GELU_IMPL == "tanh" else _gelu_poly_f32(x)
+
+
+def _gelu2_bf16(x: jnp.ndarray) -> jnp.ndarray:
+    return _gelu2_tanh_f32(x) if _GELU_IMPL == "tanh" else _gelu2_poly_f32(x)
 
 
 def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref):
@@ -111,8 +139,9 @@ def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref):
     h = h + b1_ref[...].astype(jnp.float32)
     # GELU on the f32 accumulator, then one rounding to the compute dtype
     # — the same rounding points as the XLA formulation. bf16 compute uses
-    # the cheap polynomial (error sub-rounding); f32 keeps exact erf.
-    gelu_fn = _gelu_bf16 if x.dtype == jnp.bfloat16 else _gelu_exact_f32
+    # the cheap polynomial (error sub-rounding) with the 0.5 factor folded
+    # into the pre-halved w2 (see wrapper); f32 keeps exact erf.
+    gelu_fn = _gelu2_bf16 if x.dtype == jnp.bfloat16 else _gelu_exact_f32
     h = gelu_fn(h).astype(x.dtype)
     out = jax.lax.dot_general(
         h, w2_ref[...], (((1,), (0,)), ((), ())),
@@ -146,7 +175,9 @@ def fused_mlp_pallas(x: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray,
     if m % rows:
         raise ValueError(f"no row block divides M={m}")
     w1 = w1.astype(x.dtype)
-    w2 = w2.astype(x.dtype)
+    # bf16 path: the kernel computes 2*gelu; halving w2 restores the 0.5
+    # exactly (a pure exponent shift, no rounding)
+    w2 = (w2 * 0.5 if x.dtype == jnp.bfloat16 else w2).astype(x.dtype)
     b1 = b1.astype(x.dtype).reshape(1, hidden)
     b2 = b2.astype(x.dtype).reshape(1, c)
     xspec = pl.BlockSpec((rows, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -183,7 +214,8 @@ def _mlp_ln_kernel(x_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         a, w1_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     h = h + b1_ref[...].astype(jnp.float32)
-    gelu_fn = _gelu_bf16 if x.dtype == jnp.bfloat16 else _gelu_exact_f32
+    # bf16: 2*gelu against the wrapper's pre-halved w2 (see _mlp_kernel)
+    gelu_fn = _gelu2_bf16 if x.dtype == jnp.bfloat16 else _gelu_exact_f32
     h = gelu_fn(h).astype(x.dtype)
     out = jax.lax.dot_general(
         h, w2_ref[...], (((1,), (0,)), ((), ())),
@@ -206,7 +238,8 @@ def fused_mlp_ln_pallas(x: jnp.ndarray, gamma: jnp.ndarray, beta: jnp.ndarray,
     if m % rows:
         raise ValueError(f"no row block divides M={m}")
     w1 = w1.astype(x.dtype)
-    w2 = w2.astype(x.dtype)
+    # bf16 path computes 2*gelu; halve w2 (exact exponent shift)
+    w2 = (w2 * 0.5 if x.dtype == jnp.bfloat16 else w2).astype(x.dtype)
     b1 = b1.astype(x.dtype).reshape(1, hidden)
     b2 = b2.astype(x.dtype).reshape(1, c)
     gamma = gamma.astype(jnp.float32).reshape(1, c)

@@ -55,7 +55,9 @@ def main() -> int:
             if n) or None
         if os.environ.get("KASF_PROBE_REMAT") == "none":
             remat = None
-        config = Config(batch_size=batch, flip=True, compute_dtype="bfloat16")
+        micro = int(os.environ.get("KASF_PROBE_MICRO", "0"))
+        config = Config(batch_size=batch, flip=True, compute_dtype="bfloat16",
+                        grad_microbatch=micro)
         tmodel = KASportsFormer(KASportsFormerConfig(remat_names=remat),
                                 compute_dtype=jnp.bfloat16)
         optimizer = make_optimizer(config)
@@ -79,7 +81,7 @@ def main() -> int:
                                         jax.random.key(i))
         float(comps["loss_total"])
         dt = (time.perf_counter() - t0) / n_iter
-        print(f"train batch {batch} remat={remat}: {batch/dt:,.0f} clips/s "
+        print(f"train batch {batch} remat={remat} micro={micro}: {batch/dt:,.0f} clips/s "
               f"({dt*1e3:.1f} ms)")
     return 0
 
