@@ -190,7 +190,7 @@ def masked_sdpa_pallas(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     )(q, k, v, mask_k, mask_v, rep)
 
 
-def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, mask_k_ref, mask_v_ref,
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, mask_v_ref,
                      seg_ref, rep_ref, dq_ref, dk_ref, dv_ref, *,
                      scale: float, num_heads: int, build: str):
     """Backward of the masked attention, same VMEM expansions as forward.
@@ -205,6 +205,11 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, mask_k_ref, mask_v_ref,
     matmul) and SEG the block-diagonal ones from the per-head softmax
     normalization (the backward, unlike the forward, needs the normalized
     probabilities in lane space — dL mixes P with per-head sums of P ⊙ dP).
+
+    The logits recompute contracts q against K~'s minor C axis directly
+    (the lane-major expansion km would be exactly K~^T), so the kernel
+    builds TWO expansions (K~, V~) instead of three — the builds, not the
+    dots, are the kernel's dominant cost.
 
     A "merged" restructure (one sublane-stacked SEG dot via normalization
     factoring, lane-doubled expansions/collapses, all-input-dtype dots)
@@ -224,11 +229,13 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, mask_k_ref, mask_v_ref,
     h = num_heads
     f32 = jnp.float32
 
-    # recompute the unnormalized exp weights (as in forward)
-    km = _build_km(jnp.swapaxes(k, 1, 2), mask_k_ref[...], rep_ref[...], h,
-                   build)
+    # ke: (G, H*N, C) head-tiled masked keys — used BOTH for the logits
+    # recompute (contracting the minor C axes of q and ke — km would be
+    # exactly ke^T, so building it separately is a redundant expansion)
+    # and for dq below. One expansion instead of two.
+    ke = _tile_sublane(k, h, build) * mask_v_ref[...][None]  # (G,H*N,C)
     logits = jax.lax.dot_general(
-        q, km, (((2,), (1,)), ((0,), (0,))), preferred_element_type=f32) * scale
+        q, ke, (((2,), (2,)), ((0,), (0,))), preferred_element_type=f32) * scale
     rowmax = jnp.max(logits, axis=-1, keepdims=True)
     e = jnp.exp(logits - rowmax)  # (G, N, H*N) f32
 
@@ -257,8 +264,7 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, mask_k_ref, mask_v_ref,
                                      preferred_element_type=f32)
     dlogits = (probs * (dprobs - correction) * scale).astype(q.dtype)
 
-    # dq = dL K~  with K~ = head-tiled masked keys in (H*N, C) layout
-    ke = _tile_sublane(k, h, build) * mask_v_ref[...][None]  # (G,H*N,C)
+    # dq = dL K~  with K~ = the same head-tiled masked keys built above
     dq = jax.lax.dot_general(dlogits, ke, (((2,), (1,)), ((0,), (0,))),
                              preferred_element_type=f32)
 
@@ -288,7 +294,6 @@ def masked_sdpa_bwd_pallas(q, k, v, g, scale: float, num_heads: int,
     spec = pl.BlockSpec((1,) + q.shape[1:3] + (c,), lambda i: (i, 0, 0, 0),
                         memory_space=pltpu.VMEM)
     mask = _head_mask(c, h)
-    mask_k = jnp.asarray(np.repeat(mask, n, axis=1), q.dtype)
     mask_v = jnp.asarray(np.repeat(mask, n, axis=1).T, q.dtype)
     seg = jnp.asarray(np.kron(np.eye(h, dtype=np.float32),
                               np.ones((n, n), np.float32)))
@@ -303,12 +308,12 @@ def masked_sdpa_bwd_pallas(q, k, v, g, scale: float, num_heads: int,
         functools.partial(_attn_bwd_kernel, scale=scale, num_heads=num_heads,
                           build=build or ATTN_BUILD),
         grid=(b,),
-        in_specs=[spec, spec, spec, spec, cspec(mask_k), cspec(mask_v),
+        in_specs=[spec, spec, spec, spec, cspec(mask_v),
                   cspec(seg), cspec(rep)],
         out_specs=[spec, spec, spec],
         out_shape=out_shape,
         interpret=interpret,
-    )(q, k, v, g, mask_k, mask_v, seg, rep)
+    )(q, k, v, g, mask_v, seg, rep)
 
 
 def masked_sdpa_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
