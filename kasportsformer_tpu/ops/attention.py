@@ -53,20 +53,20 @@ ATTN_IMPL = os.environ.get("KASF_ATTN_IMPL", "grouped")
 
 def _fwd_build_default(n: int) -> str:
     """Forward-kernel head-expansion build default, measured in-model on
-    v5e (round 3): for the flagship's short sequences (N=17/27) the MXU
-    tiling-operator "matmul" build beats "concat" overall (926 clips/s
-    @128 vs 906). For long sequences the (N, H*N) tiling operator grows
-    quadratically and the MXU dot loses to the masked shifts — KTPFormer's
-    N=243 temporal attention measured -33% under matmul (zoo bench), so
-    large N keeps "concat". The backward prefers "concat" everywhere
-    (flipping both via KASF_ATTN_BUILD measured net neutral in-train).
-    A lane-doubled "merged" value+denominator dot and per-shape build
-    mixes for the flagship measured neutral-to-slower and were retired to
-    git history (docs/ROUND_NOTES.md)."""
+    v5e (round 3): "dott" builds NO key expansion at all — q contracts the
+    sublane-tiled masked keys' minor C axis directly (the lane-major km
+    would be exactly ke^T). At flagship shapes it measured 1,011 clips/s
+    @128 vs 925 ("matmul" tiling-operator build) vs 906 ("concat" masked
+    shifts) — the expansions, not the dots, are the kernel's cost. Long
+    sequences keep "concat" until zoo-measured (KTPFormer's N=243 temporal
+    attention punished the N^2 "matmul" operator by -33%; dott has no such
+    term but large-N defaults change only on evidence). The backward
+    prefers "concat" sublane tiling (broadcast+merge measured 226 vs 232
+    clips/s in-train)."""
     env = os.environ.get("KASF_ATTN_BUILD")
     if env:
         return env
-    return "matmul" if n <= 32 else "concat"
+    return "dott" if n <= 32 else "concat"
 
 
 # head-expansion build inside the kernel: "concat" tiles keys/values with
@@ -104,9 +104,9 @@ def _build_km(kt, mask_k, rep, h: int, build: str):
 
 def _tile_sublane(z, h: int, build: str):
     """(G, N, C) -> (G, H*N, C) head tiling: broadcast + sublane merge
-    ("matmul" build — sublane merges are allowed by Mosaic, unlike lane-dim
-    reshapes) or h sublane-offset concats ("concat")."""
-    if build == "matmul":
+    ("matmul"/"dott" builds — sublane merges are allowed by Mosaic, unlike
+    lane-dim reshapes) or h sublane-offset concats ("concat")."""
+    if build in ("matmul", "dott"):
         gb, n0, c0 = z.shape
         return jnp.broadcast_to(z[:, None], (gb, h, n0, c0)).reshape(
             gb, h * n0, c0)
@@ -125,12 +125,22 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_k_ref, mask_v_ref, rep_ref,
     v = load(v_ref)
     h = num_heads
 
-    # km: (G, C, H*N) — keys transposed, tiled over heads, masked in VMEM
-    km = _build_km(jnp.swapaxes(k, 1, 2), mask_k_ref[...], rep_ref[...], h,
-                   build)
-    logits = jax.lax.dot_general(
-        q, km, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32) * scale  # (G, N, H*N)
+    if build == "dott":
+        # "dott": contract q against the sublane-tiled masked keys' minor C
+        # axis directly (as the backward kernel does) — km would be exactly
+        # ke^T, so no lane-major key expansion is built at all. ke is the
+        # same cheap broadcast+sublane-merge as vm below.
+        ke = _tile_sublane(k, h, build) * mask_v_ref[...][None]  # (G,H*N,C)
+        logits = jax.lax.dot_general(
+            q, ke, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale  # (G, N, H*N)
+    else:
+        # km: (G, C, H*N) — keys transposed, tiled over heads, masked in VMEM
+        km = _build_km(jnp.swapaxes(k, 1, 2), mask_k_ref[...], rep_ref[...],
+                       h, build)
+        logits = jax.lax.dot_general(
+            q, km, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale  # (G, N, H*N)
 
     # Per-head softmax WITHOUT splitting the lane dim (Mosaic can't reshape
     # it): subtract the row-global max (softmax is shift-invariant within

@@ -103,6 +103,20 @@ def test_masked_sdpa_pallas_matmul_build_matches_xla():
                                    atol=2e-5, rtol=1e-4)
 
 
+def test_masked_sdpa_pallas_dott_build_matches_xla():
+    """The "dott" build (no key expansion at all — q contracts the sublane-
+    tiled masked keys' minor axis directly) matches the XLA formulation."""
+    q = RNG.standard_normal((2, 5, 17, 64)).astype(np.float32)
+    k = RNG.standard_normal((2, 5, 17, 64)).astype(np.float32)
+    v = RNG.standard_normal((2, 5, 17, 64)).astype(np.float32)
+    want = np.asarray(masked_sdpa_xla(jnp.asarray(q), jnp.asarray(k),
+                                      jnp.asarray(v), 0.3, 4))
+    got = np.asarray(masked_sdpa_pallas(jnp.asarray(q), jnp.asarray(k),
+                                        jnp.asarray(v), 0.3, 4,
+                                        interpret=True, build="dott"))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
 def test_masked_sdpa_bwd_pallas_matches_autodiff():
     from kasportsformer_tpu.ops.attention import masked_sdpa_bwd_pallas
 
