@@ -255,19 +255,20 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, mask_v_ref,
 
     vm = _tile_sublane(v, h, build) * mask_v_ref[...][None]  # (G,H*N,C)
 
-    # dv = E (P^T g ⊙ mask_v)
+    # dv = E (P^T g ⊙ mask_v) — contract P's sublane N axis directly (no
+    # VMEM transpose; Mosaic lowers the transposed-lhs dot natively)
     dvm = jax.lax.dot_general(
-        jnp.swapaxes(probs, 1, 2).astype(q.dtype), g,
-        (((2,), (1,)), ((0,), (0,))), preferred_element_type=f32)  # (G,H*N,C)
+        probs.astype(q.dtype), g,
+        (((1,), (1,)), ((0,), (0,))), preferred_element_type=f32)  # (G,H*N,C)
     dvm = dvm * mask_v_ref[...].astype(f32)[None]
     dv = jax.lax.dot_general(rep_ref[...].astype(f32), dvm,
                              (((1,), (1,)), ((), ())),
                              preferred_element_type=f32)  # (N, G, C) -> fix
     dv = jnp.swapaxes(dv, 0, 1)  # (G, N, C)
 
-    # dP = g V~^T ; dL = P (dP - (P⊙dP) SEG) * scale
+    # dP = g V~^T — contract the minor C axes directly (no VMEM transpose)
     dprobs = jax.lax.dot_general(
-        g, jnp.swapaxes(vm, 1, 2), (((2,), (1,)), ((0,), (0,))),
+        g, vm, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=f32)  # (G, N, H*N)
     pd = probs * dprobs
     correction = jax.lax.dot_general(pd, seg_ref[...], (((2,), (0,)), ((), ())),
@@ -278,9 +279,9 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, mask_v_ref,
     dq = jax.lax.dot_general(dlogits, ke, (((2,), (1,)), ((0,), (0,))),
                              preferred_element_type=f32)
 
-    # dk = E (dL^T q ⊙ mask_v)
+    # dk = E (dL^T q ⊙ mask_v) — transposed-lhs dot, no VMEM transpose
     dkm = jax.lax.dot_general(
-        jnp.swapaxes(dlogits, 1, 2), q, (((2,), (1,)), ((0,), (0,))),
+        dlogits, q, (((1,), (1,)), ((0,), (0,))),
         preferred_element_type=f32)  # (G, H*N, C)
     dkm = dkm * mask_v_ref[...].astype(f32)[None]
     dk = jax.lax.dot_general(rep_ref[...].astype(f32), dkm,
