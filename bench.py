@@ -80,8 +80,10 @@ def main() -> int:
     # secondary: fused train-step throughput (fwd+bwd+AdamW), reported to
     # stderr only — the driver's one JSON line stays the inference metric.
     # Batch 128 + fused MLP tails (Pallas fwd+bwd kernels) + the mlp_tail
-    # remat policy is the measured train sweet spot (round 3: 219 clips/s;
-    # 256 measures 199 — per-clip cost rises above the 128 sweet spot).
+    # remat policy + 32-clip gradient microbatches (the Config default;
+    # weighted-mean-equivalent lax.scan) is the measured train sweet spot
+    # (round 3: 281 clips/s @128; 283 @256 — microbatching keeps the
+    # per-backward VMEM footprint on the flat part of the curve).
     try:
         from kasportsformer_tpu.config import Config
         from kasportsformer_tpu.models.kasportsformer import KASportsFormerConfig

@@ -154,12 +154,15 @@ class Config:
     eval_batch_size: int = 128  # measured single-chip throughput sweet
     # spot (docs/ROUND_NOTES.md); batching never changes eval results
     # (per-clip metrics, padded remainder masked). 0 = use batch_size.
-    grad_microbatch: int = 0  # >0: accumulate gradients over microbatches
+    grad_microbatch: int = 32  # >0: accumulate gradients over microbatches
     # of this size inside the one jitted step (weighted-mean equivalent to
     # the full-batch gradient). Shrinks live activation memory per backward
-    # so lighter remat policies fit HBM. GCN batch-norm statistics are then
-    # per-microbatch — the same semantics as the reference's DataParallel
-    # per-replica stats (see layers.batch_norm_nodes). 0 = off.
+    # so VMEM-resident fusions stop spilling: 32 is the measured v5e sweet
+    # spot (281 vs 243 clips/s full-batch at batch 128; 283 at batch 256 —
+    # docs/ROUND_NOTES.md round-3 session 4). GCN batch-norm statistics are
+    # then per-microbatch — the same semantics as the reference's
+    # DataParallel per-replica stats (see layers.batch_norm_nodes). 0 = off;
+    # batches not divisible by the microbatch fall back to full-batch.
 
     # populated by the loader
     config_name: str = ""

@@ -1,5 +1,7 @@
 #!/bin/bash
-# Round-3 attribution + train experiment sweep (sequential — one TPU).
+# Example attribution/A-B sweep over perf_probe env toggles (sequential —
+# one TPU). Copy and edit per campaign; past sweeps live in git history and
+# their numbers in docs/ROUND_NOTES.md.
 cd /root/repo
 export PYTHONPATH=/root/repo:$PYTHONPATH
 P="python scripts/perf_probe.py"
