@@ -132,7 +132,7 @@ def mlp_tail(p: Params, x: jnp.ndarray, use_layer_scale: bool,
                else jnp.ones((x.shape[-1],), jnp.float32))
         out = fused_mlp_ln(x, np_["scale"], np_["bias"],
                            mp["fc1"]["w"], mp["fc1"]["b"],
-                           mp["fc2"]["w"], mp["fc2"]["b"], ls2)
+                           mp["fc2"]["w"], mp["fc2"]["b"], ls2, 1e-5)
         # named for remat policies: saving 'mlp_tail' (15 MB/tail at batch
         # 128 vs 60 MB for the hidden) lets the backward replay skip
         # re-running the tail kernel entirely — its Pallas VJP recomputes
@@ -259,8 +259,33 @@ def transformer_block(p: Params, x: jnp.ndarray, num_heads: int,
         k1, k2 = jax.random.split(key)
     x = x + residual(attention_tokens(p["attn"], layer_norm(p["norm1"], x, eps),
                                       num_heads, qk_scale), k1)
-    x = x + residual(mlp(p["mlp"], layer_norm(p["norm2"], x, eps)), k2)
-    return x
+    return mlp_ln_residual(p["norm2"], p["mlp"], x, eps,
+                           drop_path_rate=drop_path_rate, key=k2)
+
+
+def mlp_ln_residual(p_norm: Params, p_mlp: Params, x: jnp.ndarray,
+                    eps: float = 1e-5, drop_path_rate: float = 0.0,
+                    key: jax.Array | None = None) -> jnp.ndarray:
+    """x + MLP(LN(x)) — the zoo blocks' shared MLP tail. Without an active
+    stochastic-depth mask this routes through the LN-folded Pallas kernel
+    (`ops/mlp.py:fused_mlp_ln`, ls2=1): LN, both matmuls, GELU and the
+    residual add in one VMEM pass (the same kernel the flagship's tails
+    use); its custom VJP runs the fused backward kernel under training.
+    With drop-path active the per-sample mask sits between the MLP and the
+    residual add, which the fused form cannot express — XLA form."""
+    if drop_path_rate > 0.0 and key is not None:
+        y = mlp(p_mlp, layer_norm(p_norm, x, eps))
+        keep = 1.0 - drop_path_rate
+        mask = jax.random.bernoulli(key, keep, (y.shape[0],) + (1,) * (y.ndim - 1))
+        return x + y * mask.astype(y.dtype) / keep
+    from kasportsformer_tpu.ops.mlp import fused_mlp_ln
+
+    fc1, fc2 = p_mlp["fc1"], p_mlp["fc2"]
+    b1 = fc1.get("b", jnp.zeros((fc1["w"].shape[1],), jnp.float32))
+    b2 = fc2.get("b", jnp.zeros((fc2["w"].shape[1],), jnp.float32))
+    ls2 = jnp.ones((x.shape[-1],), jnp.float32)
+    return fused_mlp_ln(x, p_norm["scale"], p_norm["bias"],
+                        fc1["w"], b1, fc2["w"], b2, ls2, eps)
 
 
 def cross_attention_init(key: jax.Array, dim: int, qkv_bias: bool = False) -> Params:

@@ -98,14 +98,14 @@ def _half_block(p: Params, x: jnp.ndarray, which: str, seqlen: int,
         x = x + _drop_path(
             _attn_spatial(p["attn_s"], L.layer_norm(p["norm1_s"], x),
                           num_heads, qk_scale), rate, k1)
-        x = x + _drop_path(
-            L.mlp(p["mlp_s"], L.layer_norm(p["norm2_s"], x)), rate, k2)
+        x = L.mlp_ln_residual(p["norm2_s"], p["mlp_s"], x,
+                              drop_path_rate=rate, key=k2)
     else:
         x = x + _drop_path(
             _attn_temporal(p["attn_t"], L.layer_norm(p["norm1_t"], x),
                            seqlen, num_heads, qk_scale), rate, k1)
-        x = x + _drop_path(
-            L.mlp(p["mlp_t"], L.layer_norm(p["norm2_t"], x)), rate, k2)
+        x = L.mlp_ln_residual(p["norm2_t"], p["mlp_t"], x,
+                              drop_path_rate=rate, key=k2)
     return x
 
 

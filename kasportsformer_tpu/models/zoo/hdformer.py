@@ -278,7 +278,7 @@ def _hoa(p: Params, state: Params, fv: jnp.ndarray, cfg: HDFormerConfig,
         tokens = fvp.transpose(0, 2, 3, 1).reshape(n * t, v, -1)
         tokens = L.layer_norm(
             p["norm_v"], _cross_attention(p["attn"], tokens, fep_concat)) + tokens
-        tokens = L.mlp(p["mlp"], L.layer_norm(p["norm_mlp"], tokens)) + tokens
+        tokens = L.mlp_ln_residual(p["norm_mlp"], p["mlp"], tokens)
         fvp = tokens.reshape(n, t, v, -1).transpose(0, 3, 1, 2)
 
     # tcn: BN -> ReLU -> (9,1) conv stride -> BN (`block.py:288-301`)

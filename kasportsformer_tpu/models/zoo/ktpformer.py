@@ -179,8 +179,8 @@ class KTPFormer:
         res = tokens
         tokens = L.layer_norm(params["kpa_norm1"], tokens, eps=1e-5)  # KPAttention hardcodes nn.LayerNorm (`KTPFormer.py:340`)
         tokens = res + L.attention_tokens(params["kpa_attn"], tokens, heads, scale)
-        tokens = tokens + L.mlp(params["kpa_mlp"],
-                                L.layer_norm(params["kpa_mlp_norm"], tokens, _EPS))
+        tokens = L.mlp_ln_residual(params["kpa_mlp_norm"], params["kpa_mlp"],
+                                   tokens, _EPS)
         tokens = L.layer_norm(params["spatial_norm"], tokens, _EPS)
 
         # TPA_foward on (B*N, F, C)
@@ -195,8 +195,8 @@ class KTPFormer:
         res = tokens
         tokens = L.layer_norm(params["tpa_norm1"], tokens, eps=1e-5)  # TPAttention hardcodes nn.LayerNorm
         tokens = res + L.attention_tokens(params["tpa_attn"], tokens, heads, scale)
-        tokens = tokens + L.mlp(params["tpa_mlp"],
-                                L.layer_norm(params["tpa_mlp_norm"], tokens, _EPS))
+        tokens = L.mlp_ln_residual(params["tpa_mlp_norm"], params["tpa_mlp"],
+                                   tokens, _EPS)
         tokens = L.layer_norm(params["temporal_norm"], tokens, _EPS)
 
         # trunk: depth alternating ST/TS blocks with shared norms

@@ -169,7 +169,7 @@ class STCFormer:
 
         def body(carry, block_p):
             h = _stc_attention(block_p, carry, cfg.num_heads)
-            h = h + L.mlp(block_p["mlp"], L.layer_norm(block_p["mlp_norm"], h))
+            h = L.mlp_ln_residual(block_p["mlp_norm"], block_p["mlp"], h)
             return h, None
 
         x, _ = jax.lax.scan(body, x, params["blocks"])

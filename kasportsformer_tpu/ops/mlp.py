@@ -34,6 +34,7 @@ this kernel serves the inference/serving path.
 
 from __future__ import annotations
 
+import functools
 import math
 import os
 
@@ -441,12 +442,14 @@ def _mlp_ln_xla(x, gamma, beta, w1, b1, w2, b2, ls2, eps=1e-5):
     return x + ls2.astype(x.dtype) * y
 
 
-@jax.custom_vjp
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
 def fused_mlp_ln(x: jnp.ndarray, gamma: jnp.ndarray, beta: jnp.ndarray,
                  w1: jnp.ndarray, b1: jnp.ndarray, w2: jnp.ndarray,
-                 b2: jnp.ndarray, ls2: jnp.ndarray) -> jnp.ndarray:
+                 b2: jnp.ndarray, ls2: jnp.ndarray,
+                 eps: float = 1e-5) -> jnp.ndarray:
     """x + ls2 * MLP(LN(x)) — Pallas on TPU for well-shaped inputs, XLA
-    elsewhere. Pass ls2=ones for modules without LayerScale."""
+    elsewhere. Pass ls2=ones for modules without LayerScale. `eps` is the
+    LN epsilon (static; 1e-5 torch default, MixSTE-family blocks use 1e-6)."""
     c = x.shape[-1]
     hidden = w1.shape[1]
     if (jax.default_backend() == "tpu" and c % 128 == 0 and hidden % 128 == 0
@@ -455,17 +458,17 @@ def fused_mlp_ln(x: jnp.ndarray, gamma: jnp.ndarray, beta: jnp.ndarray,
         rows = _block_rows(m, c, hidden, x.dtype.itemsize)
         if m % rows == 0:
             out = fused_mlp_ln_pallas(x.reshape(m, c), gamma, beta,
-                                      w1, b1, w2, b2, ls2)
+                                      w1, b1, w2, b2, ls2, eps=eps)
             return out.reshape(x.shape)
-    return _mlp_ln_xla(x, gamma, beta, w1, b1, w2, b2, ls2)
+    return _mlp_ln_xla(x, gamma, beta, w1, b1, w2, b2, ls2, eps=eps)
 
 
-def _fused_mlp_ln_fwd(x, gamma, beta, w1, b1, w2, b2, ls2):
-    return fused_mlp_ln(x, gamma, beta, w1, b1, w2, b2, ls2), (
+def _fused_mlp_ln_fwd(x, gamma, beta, w1, b1, w2, b2, ls2, eps):
+    return fused_mlp_ln(x, gamma, beta, w1, b1, w2, b2, ls2, eps), (
         x, gamma, beta, w1, b1, w2, b2, ls2)
 
 
-def _fused_mlp_ln_bwd(residuals, g):
+def _fused_mlp_ln_bwd(eps, residuals, g):
     x, gamma, beta, w1, b1, w2, b2, ls2 = residuals
     c = x.shape[-1]
     hidden = w1.shape[1]
@@ -476,9 +479,10 @@ def _fused_mlp_ln_bwd(residuals, g):
         if m % rows == 0:
             grads = fused_mlp_ln_bwd_pallas(
                 x.reshape(m, c), gamma, beta, w1, b1, w2, b2, ls2,
-                g.reshape(m, c))
+                g.reshape(m, c), eps=eps)
             return (grads[0].reshape(x.shape),) + grads[1:]
-    _, vjp = jax.vjp(_mlp_ln_xla, *residuals)
+    _, vjp = jax.vjp(
+        lambda *r: _mlp_ln_xla(*r, eps=eps), *residuals)
     return vjp(g)
 
 

@@ -257,6 +257,43 @@ def test_fused_mlp_ln_interpret_matches_xla():
     np.testing.assert_allclose(got, want, atol=5e-6, rtol=1e-5)
 
 
+def test_fused_mlp_ln_eps_propagates():
+    """The LN epsilon is a real parameter end-to-end (MixSTE-family blocks
+    use 1e-6): the kernel honors it, and `fused_mlp_ln(..., eps)` forward
+    and backward both match the XLA formulation at a non-default eps."""
+    from kasportsformer_tpu.ops.mlp import (_mlp_ln_xla, fused_mlp_ln,
+                                            fused_mlp_ln_pallas)
+
+    m, c, hidden = 64, 128, 256
+    eps = 1e-6
+    x = jnp.asarray(RNG.standard_normal((m, c)), jnp.float32)
+    gamma = jnp.asarray(1.0 + 0.1 * RNG.standard_normal((c,)), jnp.float32)
+    beta = jnp.asarray(0.1 * RNG.standard_normal((c,)), jnp.float32)
+    w1 = jnp.asarray(RNG.standard_normal((c, hidden)) * 0.05, jnp.float32)
+    b1 = jnp.asarray(RNG.standard_normal((hidden,)) * 0.05, jnp.float32)
+    w2 = jnp.asarray(RNG.standard_normal((hidden, c)) * 0.05, jnp.float32)
+    b2 = jnp.asarray(RNG.standard_normal((c,)) * 0.05, jnp.float32)
+    ls2 = jnp.ones((c,), jnp.float32)
+    args = (x, gamma, beta, w1, b1, w2, b2, ls2)
+    want = np.asarray(_mlp_ln_xla(*args, eps=eps))
+    got_kernel = np.asarray(fused_mlp_ln_pallas(*args, eps=eps,
+                                                interpret=True))
+    np.testing.assert_allclose(got_kernel, want, atol=5e-6, rtol=1e-5)
+    # the eps must actually matter at this tolerance for the test to bite
+    other = np.asarray(fused_mlp_ln_pallas(*args, eps=1e-2, interpret=True))
+    assert np.abs(other - want).max() > 5e-5
+    # dispatcher (off-TPU -> XLA path) with explicit eps, value + grad
+    got = np.asarray(fused_mlp_ln(*args, eps))
+    np.testing.assert_allclose(got, want, atol=5e-6, rtol=1e-5)
+    g_want = jax.grad(lambda *a: jnp.sum(_mlp_ln_xla(*a, eps=eps) ** 2),
+                      argnums=(0, 3))(*args)
+    g_got = jax.grad(lambda *a: jnp.sum(fused_mlp_ln(*a, eps) ** 2),
+                     argnums=(0, 3))(*args)
+    for a, b in zip(g_got, g_want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
+                                   rtol=1e-4)
+
+
 def test_fused_mlp_ln_bwd_pallas_matches_autodiff():
     """The fused MLP-tail BACKWARD kernel (in-VMEM recompute + grid-
     accumulated weight grads) == autodiff of the XLA formulation, f32."""
