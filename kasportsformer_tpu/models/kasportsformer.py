@@ -43,23 +43,27 @@ from kasportsformer_tpu.skeleton import (
 
 Params = dict[str, Any]
 
-# fused-body fusion-gate formulation A/B (see fused_trunk_layer_apply):
-# split per-branch gate matmuls (default) vs the reference's concat form
-_GATE_SPLIT = os.environ.get("KASF_GATE_SPLIT", "1") != "0"
-# stage-1 A/B: "sep" (default) = per-branch LN + projections; "wide" = one
-# (C,6C) LN-folded matmul. Measured on v5e (round 3): wide is ~14% SLOWER
-# in-model (552 vs 644 clips/s at batch 128) — the single wide matmul +
-# output slices defeat XLA's LN->matmul->consumer fusions, which beat the
-# microbenchmark's apparent free width. See docs/ROUND_NOTES.md.
-_STAGE1 = os.environ.get("KASF_STAGE1", "sep")
-# graph LN-stream source A/B: bf16 xh (default; frees the f32 norm core
-# early) vs f32 xh
-_HG_BF16 = os.environ.get("KASF_HG_BF16", "1") != "0"
-# profiling-only branch ablation: "att" | "graph" | "bone" replaces that
-# branch's output with the input stream, so XLA dead-code-eliminates the
-# branch's entire compute — the only trustworthy in-model attribution
-# method on this hardware (docs/ROUND_NOTES.md). NEVER set in production.
-_ABLATE_BRANCH = os.environ.get("KASF_ABLATE", "")
+# A/B knobs for the fused trunk body, read at TRACE time inside
+# `fused_trunk_layer_apply` (call-time, not import-time — see docs/KNOBS.md
+# for the contract):
+#   KASF_GATE_SPLIT — fusion-gate formulation: split per-branch gate matmuls
+#     (default "1") vs the reference's concat form.
+#   KASF_STAGE1 — "sep" (default) per-branch LN + projections; "wide" one
+#     (C,6C) LN-folded matmul. Measured on v5e (round 3): wide is ~14%
+#     SLOWER in-model (552 vs 644 clips/s at batch 128) — the single wide
+#     matmul + output slices defeat XLA's LN->matmul->consumer fusions.
+#   KASF_HG_BF16 — graph LN-stream source: bf16 xh (default; frees the f32
+#     norm core early) vs f32 xh.
+#   KASF_ABLATE — profiling-only branch ablation: "att" | "graph" | "bone"
+#     replaces that branch's output with the input stream, so XLA
+#     dead-code-eliminates the branch's entire compute — the only
+#     trustworthy in-model attribution method on this hardware
+#     (docs/ROUND_NOTES.md). NEVER set in production.
+def _trunk_knobs() -> tuple[bool, str, bool, str]:
+    return (os.environ.get("KASF_GATE_SPLIT", "1") != "0",
+            os.environ.get("KASF_STAGE1", "sep"),
+            os.environ.get("KASF_HG_BF16", "1") != "0",
+            os.environ.get("KASF_ABLATE", ""))
 
 # (16, 17) selection matrix: row b = e[child_b] - e[parent_b], so
 # M @ joints_xy yields all bone vectors in one matmul. Kept as numpy — it
@@ -310,10 +314,11 @@ def fused_trunk_layer_apply(p: Params, fw: Params, state: Params,
     heads = cfg.num_heads
     scale = cfg.qkv_scale or (c // heads) ** -0.5
     use_ls = cfg.use_layer_scale
+    _gate_split, _stage1, _hg_bf16, _ablate_branch = _trunk_knobs()
 
     xh_f32 = _norm_core(x)
     xh = xh_f32.astype(dtype)
-    if _STAGE1 == "wide":
+    if _stage1 == "wide":
         big = xh @ fw["w1"].astype(dtype) + fw["b1"].astype(dtype)
         qkv_a = big[..., : 3 * c]
         v_g = big[..., 3 * c : 4 * c]
@@ -360,9 +365,9 @@ def fused_trunk_layer_apply(p: Params, fw: Params, state: Params,
     # --- graph branch (spatial GCN inline: V/U came from the fused matmul)
     p_gs = p["graph_spatial"]
     b_, t_, j_, _ = x.shape
-    if _STAGE1 != "wide":
+    if _stage1 != "wide":
         h_g = h_gs  # already computed off the shared norm core
-    elif _HG_BF16:
+    elif _hg_bf16:
         h_g = (xh * p_gs["norm1"]["scale"].astype(dtype)
                + p_gs["norm1"]["bias"].astype(dtype))
     else:
@@ -393,16 +398,16 @@ def fused_trunk_layer_apply(p: Params, fw: Params, state: Params,
     x_bone = _mixer_tail(p_bt, xbt, L.linear(p_bt["mixer"]["proj"], core),
                          use_ls, train).transpose(0, 2, 1, 3)
 
-    if _ABLATE_BRANCH == "att":
+    if _ablate_branch == "att":
         x_attn = x
-    elif _ABLATE_BRANCH == "graph":
+    elif _ablate_branch == "graph":
         x_graph = x
-    elif _ABLATE_BRANCH == "bone":
+    elif _ablate_branch == "bone":
         x_bone = x
 
     # --- adaptive 3-way fusion, concat split into per-branch gate matmuls
     if cfg.use_adaptive_fusion:
-        if _GATE_SPLIT:
+        if _gate_split:
             wf = p["fusion"]["w"].astype(dtype)
             logits = (x_attn @ wf[:c] + x_graph @ wf[c : 2 * c]
                       + x_bone @ wf[2 * c :] + p["fusion"]["b"].astype(dtype))

@@ -23,6 +23,7 @@ matches the reference recipe and converted torch checkpoints drop in.
 from __future__ import annotations
 
 import math
+import os
 from typing import Any
 
 import jax
@@ -113,7 +114,6 @@ def mlp_tail(p: Params, x: jnp.ndarray, use_layer_scale: bool,
     (`ops/mlp.py:fused_mlp_ln`) — LN, both matmuls, GELU, LayerScale and the
     residual add in one VMEM pass. Training keeps the XLA form whose named
     'mlp_hidden' the trunk remat policy saves."""
-    import os
     if os.environ.get("KASF_ABLATE") == "mlp":
         # profiling-only: drop every MLP tail so XLA dead-code-eliminates
         # the sub-block — in-model attribution (docs/ROUND_NOTES.md)
@@ -173,11 +173,26 @@ def _sdpa_tokens(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
     `ops/attention.py`, which keeps the head expansion entirely in VMEM
     (another ~2.5x: the XLA form is HBM-bound on the ~1 MB/clip expansion);
     elsewhere it runs the pure-XLA masked form.
+
+    Under an open `parallel.tensor_parallel(mesh)` context (trace-time) a
+    4-D call routes through the shard_map'd TP kernel instead: each chip
+    runs on its local contiguous head shard with no collectives, rather
+    than XLA all-gathering q/k/v around the replicated-spec pallas_call
+    (the Megatron all-reduce stays at the following proj matmul, inserted
+    by pjit from `parallel.param_shardings`).
     """
-    from kasportsformer_tpu.ops.attention import masked_sdpa
+    from kasportsformer_tpu import parallel
+    from kasportsformer_tpu.ops.attention import masked_sdpa, masked_sdpa_tp
 
-    from jax.ad_checkpoint import checkpoint_name
-
+    tp = parallel.active_tp()
+    if tp is not None and q.ndim == 4:
+        mesh, interpret = tp
+        tp_size = mesh.shape[parallel.MODEL_AXIS]
+        if num_heads % tp_size == 0 and q.shape[-1] % num_heads == 0:
+            out = masked_sdpa_tp(q, k, v, scale, num_heads, mesh,
+                                 axis_name=parallel.MODEL_AXIS,
+                                 force_pallas_interpret=interpret)
+            return checkpoint_name(out, "attn_core")
     out = masked_sdpa(q, k, v, scale, num_heads)
     # named for remat policies: the trunk saves attention-core outputs so the
     # backward replays only the cheap linears/norms (see kasportsformer.py)
@@ -413,7 +428,7 @@ def gcn(p: Params, state: Params, x: jnp.ndarray, mode: str, train: bool,
         if static_temporal_adj is not None:
             norm_adj = normalize_adjacency(static_temporal_adj).astype(x.dtype)
             agg = jnp.einsum("ts,nsc->ntc", norm_adj, linear(p["V"], tokens))
-        elif __import__("os").environ.get("KASF_ABLATE") == "gcnt":
+        elif os.environ.get("KASF_ABLATE") == "gcnt":
             # profiling-only: skip the dynamic similarity/top-k adjacency
             # build + aggregation (attribution of the temporal GCN's
             # data-dependent part)

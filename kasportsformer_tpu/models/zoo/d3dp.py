@@ -236,11 +236,20 @@ class D3DP:
             t = jnp.full((b * h,), time, jnp.int32)
             x_t = jnp.clip(img, -1.1 * cfg.scale, 1.1 * cfg.scale) / cfg.scale
             x_t_flat = x_t.reshape(b * h, f, n, 3)
-            pred = self.denoise(params, x2d_rep, x_t_flat, t)
             if cfg.flip_tta:
-                pred_flip = self.denoise(params, x2d_flip_rep,
-                                         joint_flip(x_t_flat), t)
-                pred = (pred + joint_flip(pred_flip)) / 2
+                # fused flip TTA: one denoiser call on the (2BH)-stacked
+                # batch instead of two sequential calls per DDIM step (the
+                # reference runs them back to back,
+                # `diffusionpose.py:529-535`; same trick as the flagship's
+                # one-program eval, train/evaluator.py)
+                both = self.denoise(
+                    params,
+                    jnp.concatenate([x2d_rep, x2d_flip_rep], axis=0),
+                    jnp.concatenate([x_t_flat, joint_flip(x_t_flat)], axis=0),
+                    jnp.concatenate([t, t], axis=0))
+                pred = (both[: b * h] + joint_flip(both[b * h :])) / 2
+            else:
+                pred = self.denoise(params, x2d_rep, x_t_flat, t)
             x_start = jnp.clip(pred.reshape(b, h, f, n, 3) * cfg.scale,
                                -1.1 * cfg.scale, 1.1 * cfg.scale)
             preds_all.append(x_start)

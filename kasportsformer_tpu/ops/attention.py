@@ -47,8 +47,10 @@ from jax.experimental.pallas import tpu as pltpu
 # kernel, the default) or "xla" (no Pallas — debugging / non-TPU). Retired
 # variants (folded-group, tokens-major/swap_gn, fused former-module, fused
 # GCN) live in git history; their measured numbers are in
-# docs/ROUND_NOTES.md.
-ATTN_IMPL = os.environ.get("KASF_ATTN_IMPL", "grouped")
+# docs/ROUND_NOTES.md. Read at call (trace) time — see docs/KNOBS.md for
+# the knob contract.
+def _attn_impl() -> str:
+    return os.environ.get("KASF_ATTN_IMPL", "grouped")
 
 
 def _fwd_build_default(n: int) -> str:
@@ -74,9 +76,10 @@ def _fwd_build_default(n: int) -> str:
 # these to masked shifts), "matmul" builds the key expansion with a one-hot
 # tiling-operator MXU dot and the value expansion with a broadcast+reshape
 # (sublane merge — allowed by Mosaic, unlike lane-dim reshapes). This
-# module-level default feeds the BACKWARD kernel and direct
-# masked_sdpa_pallas calls; the forward dispatch uses _fwd_build_default().
-ATTN_BUILD = os.environ.get("KASF_ATTN_BUILD", "concat")
+# default feeds the BACKWARD kernel and direct masked_sdpa_pallas calls;
+# the forward dispatch uses _fwd_build_default(). Call-time read.
+def _attn_build() -> str:
+    return os.environ.get("KASF_ATTN_BUILD", "concat")
 
 
 @functools.lru_cache(maxsize=8)
@@ -191,7 +194,7 @@ def masked_sdpa_pallas(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                             memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_attn_kernel, scale=scale, num_heads=num_heads,
-                          build=build or ATTN_BUILD),
+                          build=build or _attn_build()),
         grid=(b // block_b,),
         in_specs=[spec, spec, spec, mk_spec, mv_spec, rep_spec],
         out_specs=spec,
@@ -317,7 +320,7 @@ def masked_sdpa_bwd_pallas(q, k, v, g, scale: float, num_heads: int,
     out_shape = [jax.ShapeDtypeStruct(q.shape, q.dtype)] * 3
     return pl.pallas_call(
         functools.partial(_attn_bwd_kernel, scale=scale, num_heads=num_heads,
-                          build=build or ATTN_BUILD),
+                          build=build or _attn_build()),
         grid=(b,),
         in_specs=[spec, spec, spec, spec, cspec(mask_v),
                   cspec(seg), cspec(rep)],
@@ -362,7 +365,7 @@ def masked_sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
         # calls vanish — in-model attribution of the sdpa cores
         return v
     if (jax.default_backend() == "tpu" and q.shape[-1] % num_heads == 0
-            and q.shape[-1] % 128 == 0 and ATTN_IMPL != "xla"):
+            and q.shape[-1] % 128 == 0 and _attn_impl() != "xla"):
         # the % 128 gate: sub-lane-width channel dims (tiny debug/dryrun
         # models) hit Mosaic layout-cast failures and gain nothing from the
         # kernel — XLA handles them
@@ -408,7 +411,7 @@ def _masked_sdpa_fwd(q, k, v, scale, num_heads):
 def _masked_sdpa_bwd(scale, num_heads, residuals, g):
     q, k, v = residuals
     if (jax.default_backend() == "tpu" and q.shape[-1] % num_heads == 0
-            and q.shape[-1] % 128 == 0 and ATTN_IMPL != "xla"):
+            and q.shape[-1] % 128 == 0 and _attn_impl() != "xla"):
         bwd = masked_sdpa_bwd_pallas
         if q.ndim == 4:
             return bwd(q, k, v, g, scale, num_heads)
@@ -458,7 +461,12 @@ def masked_sdpa_tp(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     if num_heads % tp or c % num_heads:
         raise ValueError(f"heads {num_heads} not divisible by tp={tp}")
     local_heads = num_heads // tp
-    spec = P(None, None, None, axis_name)
+    # the batch axis stays sharded over every non-'model' mesh axis (the DP
+    # axes): a None there would force shard_map to all-gather the
+    # data-sharded activations at the boundary — the exact waste this
+    # wrapper exists to remove on the channel axis
+    data_axes = tuple(a for a in mesh.axis_names if a != axis_name)
+    spec = P(data_axes if data_axes else None, None, None, axis_name)
 
     def local(ql, kl, vl):
         if force_pallas_interpret:

@@ -97,7 +97,9 @@ def _gelu_tanh_f32(x: jnp.ndarray) -> jnp.ndarray:
 # bf16-path GELU evaluation: "tanh" (native-tanh form, ~6 VPU ops) vs
 # "poly" (14-op odd polynomial). The GELU over the 4x-wide hidden is the
 # kernel's dominant VPU term (module docstring) — this is the A/B for it.
-_GELU_IMPL = os.environ.get("KASF_GELU", "tanh")
+# Read at call (trace) time — docs/KNOBS.md.
+def _gelu_impl() -> str:
+    return os.environ.get("KASF_GELU", "tanh")
 
 
 def _gelu2_tanh_f32(x: jnp.ndarray) -> jnp.ndarray:
@@ -125,11 +127,11 @@ def _gelu2_poly_f32(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _gelu_bf16(x: jnp.ndarray) -> jnp.ndarray:
-    return _gelu_tanh_f32(x) if _GELU_IMPL == "tanh" else _gelu_poly_f32(x)
+    return _gelu_tanh_f32(x) if _gelu_impl() == "tanh" else _gelu_poly_f32(x)
 
 
 def _gelu2_bf16(x: jnp.ndarray) -> jnp.ndarray:
-    return _gelu2_tanh_f32(x) if _GELU_IMPL == "tanh" else _gelu2_poly_f32(x)
+    return _gelu2_tanh_f32(x) if _gelu_impl() == "tanh" else _gelu2_poly_f32(x)
 
 
 def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref):

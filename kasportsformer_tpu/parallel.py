@@ -16,6 +16,7 @@ replaces it with a 2-D `jax.sharding.Mesh` ('data', 'model'):
 
 from __future__ import annotations
 
+import contextlib
 import os
 from typing import Any
 
@@ -27,6 +28,38 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 _distributed_initialized = False
+
+# Active tensor-parallel dispatch state: (mesh, pallas_interpret) while a
+# `tensor_parallel(mesh)` context is open. Read at TRACE time by the
+# attention core (`models/layers._sdpa_tokens`): under a >1-wide 'model'
+# axis it routes to the shard_map'd kernel (`ops/attention.masked_sdpa_tp`)
+# so each chip runs on its local head shard instead of XLA all-gathering
+# q/k/v around the replicated-spec pallas_call.
+_TP_STATE: list[tuple[Mesh, bool]] = []
+
+
+@contextlib.contextmanager
+def tensor_parallel(mesh: Mesh | None, pallas_interpret: bool = False):
+    """Enable mesh-aware tensor-parallel attention dispatch for everything
+    traced inside. No-op when `mesh` is None or its 'model' axis is 1, so
+    callers can wrap unconditionally. Must be open around the call that
+    TRACES the jitted step (tracing happens on first call); an already-
+    compiled program is unaffected, like every trace-time knob
+    (docs/KNOBS.md). `pallas_interpret` forces the in-shard Pallas kernel
+    into interpret mode — CPU-mesh testing of the real TP x kernel path."""
+    if mesh is None or dict(mesh.shape).get(MODEL_AXIS, 1) == 1:
+        yield
+        return
+    _TP_STATE.append((mesh, pallas_interpret))
+    try:
+        yield
+    finally:
+        _TP_STATE.pop()
+
+
+def active_tp() -> tuple[Mesh, bool] | None:
+    """The innermost open `tensor_parallel` context, if any."""
+    return _TP_STATE[-1] if _TP_STATE else None
 
 
 def maybe_init_distributed(enable: bool | None = None, **kwargs) -> bool:

@@ -125,6 +125,9 @@ class Evaluator:
         self.plan = epoch_plan(len(clipset), batch_size)
         self.step = make_eval_step(model, flip, input_channel_number)
         self.batch_sharding = batch_sharding
+        # under a tensor-parallel mesh the attention cores trace through the
+        # shard_map'd TP kernel (parallel.tensor_parallel / layers._sdpa_tokens)
+        self.mesh = getattr(batch_sharding, "mesh", None)
 
     def run(self, params, state) -> dict[str, Any]:
         """Full evaluation; returns the reference's result dict
@@ -133,15 +136,18 @@ class Evaluator:
         Per-clip metric arrays stream back from the device; the string-keyed
         per-action grouping is one vectorized numpy pass (the reference
         extends Python lists clip by clip, `:85-103`)."""
+        from kasportsformer_tpu import parallel
+
         chunks = {"mpjpe": [], "jpe": [], "acc_err": [], "p_mpjpe": []}
-        for s in range(self.plan.steps):
-            idx = jnp.asarray(self.plan.indices[s])
-            if self.batch_sharding is not None:
-                idx = jax.device_put(idx, self.batch_sharding)
-            out = self.step(params, state, self.arrays, idx)
-            keep = self.plan.weights[s] > 0
-            for key in chunks:
-                chunks[key].append(np.asarray(out[key])[keep])
+        with parallel.tensor_parallel(self.mesh):
+            for s in range(self.plan.steps):
+                idx = jnp.asarray(self.plan.indices[s])
+                if self.batch_sharding is not None:
+                    idx = jax.device_put(idx, self.batch_sharding)
+                out = self.step(params, state, self.arrays, idx)
+                keep = self.plan.weights[s] > 0
+                for key in chunks:
+                    chunks[key].append(np.asarray(out[key])[keep])
         metrics = {key: np.concatenate(vals) for key, vals in chunks.items()}
         # plan indices are sequential over real clips (padding masked off)
         clip_actions = self.actions

@@ -343,7 +343,6 @@ class Trainer:
             input_channel_number=config.input_channel_number,
             batch_sharding=self.batch_sharding,
             array_sharding=self.replicated)
-        self.rng = np.random.default_rng(config.seed)
 
     def _shard_batch(self, arr: jnp.ndarray) -> jnp.ndarray:
         if self.batch_sharding is None:
@@ -382,7 +381,12 @@ class Trainer:
                 lr = wu
             set_learning_rate(opt_state, lr)
 
-            plan = epoch_plan(self.n_train, config.batch_size, self.rng)
+            # the shuffle rng is seeded per (seed, epoch) — not one generator
+            # advanced across the run — so a kill-and-resume at epoch E sees
+            # the exact batch order the uninterrupted run would have
+            # (tests/test_eval_train.py::test_resume_matches_uninterrupted)
+            plan = epoch_plan(self.n_train, config.batch_size,
+                              np.random.default_rng([config.seed, epoch]))
             epoch_key = jax.random.fold_in(root_key, epoch)
             t0 = time.time()
             # Loss components accumulate ON DEVICE across the epoch (a few
@@ -392,13 +396,19 @@ class Trainer:
             # `train_and_evaluate_sp.py:224-239`).
             totals: dict[str, jnp.ndarray] | None = None
             n_total = 0
+            from kasportsformer_tpu import parallel
+
             for s in range(plan.steps):
                 step_key = jax.random.fold_in(epoch_key, s)
-                params, state, opt_state, comps = self.train_step(
-                    params, state, opt_state,
-                    self.train_arrays,
-                    self._shard_batch(jnp.asarray(plan.indices[s])),
-                    self._shard_batch(jnp.asarray(plan.weights[s])), step_key)
+                # tensor_parallel: trace-time dispatch of the attention cores
+                # to the shard_map'd TP kernel when the 'model' axis is >1
+                with parallel.tensor_parallel(self.mesh):
+                    params, state, opt_state, comps = self.train_step(
+                        params, state, opt_state,
+                        self.train_arrays,
+                        self._shard_batch(jnp.asarray(plan.indices[s])),
+                        self._shard_batch(jnp.asarray(plan.weights[s])),
+                        step_key)
                 n_real = float(plan.weights[s].sum())  # host-side plan array
                 n_total += n_real
                 if totals is None:
@@ -423,18 +433,26 @@ class Trainer:
                 min_mpjpe = mpjpe
                 patience_count = 0
                 best_epoch = epoch
-                self._save(params, state, opt_state, scheduler, epoch, lr,
-                           min_mpjpe, tag="best")
             else:
                 patience_count += 1
+
+            # scheduler steps only after warmup (`:393-397`) — and BEFORE
+            # the checkpoint saves: the checkpoint must carry the lr and
+            # plateau state the NEXT epoch needs, else a kill-and-resume
+            # silently drops this epoch's scheduler step (the reference
+            # saves pre-step, `train_and_evaluate_sp.py:350-358` vs
+            # `:393-397`, one more latent resume bug fixed by construction)
+            lr_used = lr  # logged: the lr this epoch actually trained with
+            if not config.warmup or epoch > config.warmup_epoches:
+                lr = scheduler.step(mpjpe, lr)
+
+            if improved:
+                self._save(params, state, opt_state, scheduler, epoch, lr,
+                           min_mpjpe, tag="best")
             self._save(params, state, opt_state, scheduler, epoch, lr,
                        min_mpjpe, tag="latest")
 
-            self._log_metrics(epoch, lr, loss_avgs, result, min_mpjpe)
-
-            # scheduler steps only after warmup (`:393-397`)
-            if not config.warmup or epoch > config.warmup_epoches:
-                lr = scheduler.step(mpjpe, lr)
+            self._log_metrics(epoch, lr_used, loss_avgs, result, min_mpjpe)
 
             if patience_count >= config.training_epoch_patience:
                 self.log.info(

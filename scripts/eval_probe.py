@@ -12,9 +12,13 @@ import time
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser("~/.cache/kasf_jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+if jax.default_backend() == "tpu":
+    # TPU-only: a persistent CPU cache entry AOT-compiled on another
+    # host machine can hang/SIGILL on load (machine-feature mismatch)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/kasf_jax_cache"))
+    jax.config.update(
+        "jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402

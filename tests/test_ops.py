@@ -83,18 +83,13 @@ def test_masked_sdpa_pallas_matmul_build_matches_xla():
     v = RNG.standard_normal((2, 5, 17, 64)).astype(np.float32)
     want = np.asarray(masked_sdpa_xla(jnp.asarray(q), jnp.asarray(k),
                                       jnp.asarray(v), 0.3, 4))
-    old = A.ATTN_BUILD
-    A.ATTN_BUILD = "matmul"
-    try:
-        got = np.asarray(masked_sdpa_pallas(jnp.asarray(q), jnp.asarray(k),
-                                            jnp.asarray(v), 0.3, 4,
-                                            interpret=True))
-        gq = jnp.asarray(RNG.standard_normal((2, 5, 17, 64)), jnp.float32)
-        gots = A.masked_sdpa_bwd_pallas(
-            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), gq, 0.3, 4,
-            interpret=True)
-    finally:
-        A.ATTN_BUILD = old
+    got = np.asarray(masked_sdpa_pallas(jnp.asarray(q), jnp.asarray(k),
+                                        jnp.asarray(v), 0.3, 4,
+                                        interpret=True, build="matmul"))
+    gq = jnp.asarray(RNG.standard_normal((2, 5, 17, 64)), jnp.float32)
+    gots = A.masked_sdpa_bwd_pallas(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), gq, 0.3, 4,
+        interpret=True, build="matmul")
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
     _, vjp = jax.vjp(lambda a, b, c: masked_sdpa_xla(a, b, c, 0.3, 4),
                      jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))

@@ -234,6 +234,36 @@ def test_d3dp_parity():
     assert jmodel.parameter_count(params) == want_n
 
 
+def test_d3dp_fused_flip_tta():
+    """The DDIM sampler's flip TTA runs ONE denoiser call on the
+    (2BH)-stacked batch per step (models/zoo/d3dp.py). Validity rests on the
+    denoiser being batch-separable — assert that, plus sampler shape /
+    finiteness / key-determinism with flip_tta on."""
+    from kasportsformer_tpu.models.zoo.d3dp import D3DP, D3DPConfig
+
+    cfg = D3DPConfig(num_frame=27, embed_dim=32, depth=2, timesteps=50,
+                     sampling_timesteps=2, num_proposals=2, flip_tta=True)
+    model = D3DP(cfg)
+    params, _ = model.init(jax.random.key(0))
+
+    rng = np.random.default_rng(17)
+    x2d = jnp.asarray(rng.standard_normal((3, 27, 17, 2)), jnp.float32)
+    x3d = jnp.asarray(rng.standard_normal((3, 27, 17, 3)), jnp.float32)
+    t = jnp.asarray([1, 25, 49], jnp.int32)
+
+    a = np.asarray(model.denoise(params, x2d[:2], x3d[:2], t[:2]))
+    b = np.asarray(model.denoise(params, x2d[2:], x3d[2:], t[2:]))
+    both = np.asarray(model.denoise(params, x2d, x3d, t))
+    np.testing.assert_allclose(both, np.concatenate([a, b]), atol=1e-5,
+                               rtol=1e-5)
+
+    out1 = model.sample(params, x2d[..., :2], key=jax.random.key(3))
+    out2 = model.sample(params, x2d[..., :2], key=jax.random.key(3))
+    assert out1.shape == (3, 2, 2, 27, 17, 3)
+    assert np.isfinite(np.asarray(out1)).all()
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+
 def test_hdformer_parity(monkeypatch):
     torch = pytest.importorskip("torch")
     enable_reference_imports()
