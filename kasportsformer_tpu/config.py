@@ -81,6 +81,12 @@ class Config:
     warmup: bool = True
     warmup_epoches: int = 10  # (sic) reference spelling is part of the schema
     training_epoch_patience: int = 20
+    # TPU addition (not in the reference schema): save the latest/best
+    # checkpoints only every N epochs (0 disables saving entirely). The
+    # reference saves every epoch (`train_and_evaluate_sp.py:350-358`);
+    # through a remote-TPU tunnel each ~350 MB params+optimizer fetch costs
+    # ~15 s, which can dwarf the epoch itself on small clip sets.
+    checkpoint_interval: int = 1
 
     # --- loss lambdas ---
     lambda_mpjpe_velocity: float = 20.0

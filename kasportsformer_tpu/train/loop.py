@@ -446,11 +446,14 @@ class Trainer:
             if not config.warmup or epoch > config.warmup_epoches:
                 lr = scheduler.step(mpjpe, lr)
 
-            if improved:
-                self._save(params, state, opt_state, scheduler, epoch, lr,
-                           min_mpjpe, tag="best")
-            self._save(params, state, opt_state, scheduler, epoch, lr,
-                       min_mpjpe, tag="latest")
+            interval = config.checkpoint_interval
+            if interval > 0:
+                if improved:
+                    self._save(params, state, opt_state, scheduler, epoch,
+                               lr, min_mpjpe, tag="best")
+                if (epoch + 1) % interval == 0 or epoch == epochs - 1:
+                    self._save(params, state, opt_state, scheduler, epoch,
+                               lr, min_mpjpe, tag="latest")
 
             self._log_metrics(epoch, lr_used, loss_avgs, result, min_mpjpe)
 

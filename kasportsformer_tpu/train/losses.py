@@ -26,8 +26,14 @@ def _safe_norm(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     would then poison every gradient in the step. Forward values are
     identical to jnp.linalg.norm."""
     sq = jnp.sum(x * x, axis=axis)
-    nonzero = sq > 0
-    return jnp.where(nonzero, jnp.sqrt(jnp.where(nonzero, sq, 1.0)), 0.0)
+    # the guard keys on `sq <= 0` (not `sq > 0`) so a NaN input — for which
+    # both comparisons are False — falls through to sqrt and PROPAGATES
+    # instead of being silently masked to 0. A diverged model must produce a
+    # NaN loss, not a zero one (round-4 campaign: a mid-training NaN turned
+    # every subsequent epoch into loss == 0.0 exactly, a zombie run the
+    # plateau scheduler happily kept scheduling).
+    zero = sq <= 0
+    return jnp.where(zero, 0.0, jnp.sqrt(jnp.where(zero, 1.0, sq)))
 
 # Per-joint weights used by weighted MPJPE (`utils/loss_calc.py:108`).
 WEIGHTED_MPJPE_W = np.array(

@@ -61,20 +61,30 @@ RES_W, RES_H = 1312.0, 1216.0  # SP 'outdoors' camera (sources.py)
 
 
 def synthetic_clipsets(n_train: int, n_test: int, seed: int,
-                       scale_px: float = 150.0) -> tuple[ClipSet, ClipSet]:
+                       scale_px: float = 150.0,
+                       tile: int = 1) -> tuple[ClipSet, ClipSet]:
     """Consistent train/test ClipSets where test clips are a subset of train
     clips (memorization target) and eval-mm == normalized error * RES_W/2
     (factor 1.0). Coordinates span ~scale_px pixels so the bf16 output
     quantization floor sits well under 1 mm."""
+    n_test = min(n_test, n_train)  # test clips are drawn from train uniques
     rng = np.random.default_rng(seed)
-    # smooth per-clip trajectories: random endpoints + linear blend + noise,
-    # so velocity loss sees nonzero consistent targets
+    # smooth per-clip xy trajectories: random endpoints + linear blend +
+    # noise (noise is fine — xy is part of the INPUT, so it stays
+    # predictable), with z a fixed smooth DETERMINISTIC function of the 2D
+    # pose. A learnable input->target mapping is what makes "<1 mm" a real
+    # target: an earlier draft drew z as independent noise, which turns
+    # overfitting into memorizing ~235K continuous values from clip
+    # identity — the flagship plateaued at 77 mm after 100 epochs.
     def poses(n):
-        a = rng.uniform(-scale_px, scale_px, size=(n, 1, 17, 3))
-        b = rng.uniform(-scale_px, scale_px, size=(n, 1, 17, 3))
+        a = rng.uniform(-scale_px, scale_px, size=(n, 1, 17, 2))
+        b = rng.uniform(-scale_px, scale_px, size=(n, 1, 17, 2))
         t = np.linspace(0.0, 1.0, 27)[None, :, None, None]
-        x = a * (1 - t) + b * t + rng.normal(0, 5.0, size=(n, 27, 17, 3))
-        return x.astype(np.float32)
+        xy = a * (1 - t) + b * t + rng.normal(0, 5.0, size=(n, 27, 17, 2))
+        z = (0.5 * scale_px * np.sin(xy[..., :1] / (0.4 * scale_px))
+             + 0.4 * scale_px * np.cos(xy[..., 1:] / (0.53 * scale_px))
+             + 0.3 * xy[..., :1])
+        return np.concatenate([xy, z], -1).astype(np.float32)
 
     joint3d = poses(n_train)  # camera-space px, z relative
     # 2D = perspective-free projection of xy + center offset, conf = 1
@@ -87,8 +97,16 @@ def synthetic_clipsets(n_train: int, n_test: int, seed: int,
     lab_z = (joint3d[..., 2:] / RES_W * 2).astype(np.float32)
     labels = np.concatenate([lab_xy, lab_z], -1).astype(np.float32)
 
-    train = ClipSet(split="train", inputs=inputs,
-                    labels=labels - labels[..., 0:1, :])
+    # `tile` repeats the unique clips within each epoch. The reference recipe
+    # (plateau decay patience 2 + early stop patience 20, all per-EPOCH) is
+    # calibrated for real datasets with hundreds of steps per epoch; at 4-16
+    # steps/epoch the noisy eval decays the lr long before memorization
+    # completes (measured: 512 clips -> 11.4 mm, 2048 clips -> 10.9 mm).
+    # Tiling restores the recipe's intended steps-per-eval density without
+    # touching its knobs or growing the memorization load.
+    reps = (tile,) + (1,) * (inputs.ndim - 1)
+    train = ClipSet(split="train", inputs=np.tile(inputs, reps),
+                    labels=np.tile(labels - labels[..., 0:1, :], reps))
     sel = rng.permutation(n_train)[:n_test]
     # labels_scaled must equal denorm(labels) * factor for a perfect model
     # to score 0 mm: with factor=1 that is exactly the de-normalized labels
@@ -157,18 +175,27 @@ def base_config(**kw) -> Config:
 
 
 def mode_overfit() -> None:
-    print("== overfit: 512 clips, flagship, bf16, full recipe ==", flush=True)
-    train_set, test_set = synthetic_clipsets(512, 128, seed=7)
-    config = base_config(epochs=int(os.environ.get("KASF_CAMPAIGN_EPOCHS", "300")))
+    n = int(os.environ.get("KASF_CAMPAIGN_OVERFIT_CLIPS", "512"))
+    tile = int(os.environ.get("KASF_CAMPAIGN_TILE", "8"))
+    print(f"== overfit: {n} clips x{tile}/epoch, flagship, bf16, "
+          f"full recipe ==", flush=True)
+    train_set, test_set = synthetic_clipsets(n, 128, seed=7, tile=tile)
+    # checkpoint_interval=0: each ~350 MB params+optimizer save costs ~15 s
+    # through the TPU tunnel — on a 2 s epoch that's 8x the training itself,
+    # and the overfit/stability modes never restore (resume mode keeps 1)
+    config = base_config(
+        epochs=int(os.environ.get("KASF_CAMPAIGN_EPOCHS", "400")),
+        checkpoint_interval=0)
     _, _, summary, hist, wall = run_fit("overfit_bf16", config,
                                         train_set, test_set)
     best = summary["min_mpjpe"]
-    steps = len(hist.rows) * (512 // 128)
+    steps = len(hist.rows) * (n * tile // 128)
     print(f"bf16: best eval MPJPE {best:.4f} mm after {len(hist.rows)} epochs "
           f"({steps} optimizer steps, {wall:.0f}s)")
 
     f32_epochs = int(os.environ.get("KASF_CAMPAIGN_F32_EPOCHS", "60"))
-    config32 = base_config(compute_dtype="float32", epochs=f32_epochs)
+    config32 = base_config(compute_dtype="float32", epochs=f32_epochs,
+                           checkpoint_interval=0)
     _, _, s32, h32, wall32 = run_fit("overfit_f32", config32,
                                      train_set, test_set)
     e = min(f32_epochs, len(hist.rows), len(h32.rows)) - 1
@@ -189,7 +216,8 @@ def mode_stability() -> None:
     print(f"== stability: {n} clips (reference-scale), {ep} epochs, bf16 ==",
           flush=True)
     train_set, test_set = synthetic_clipsets(n, 512, seed=11)
-    config = base_config(epochs=ep, flip=True)  # train-aug + TTA exercised
+    config = base_config(epochs=ep, flip=True,  # train-aug + TTA exercised
+                         checkpoint_interval=0)
     _, _, summary, hist, wall = run_fit("stability", config,
                                         train_set, test_set)
     first, last = hist.rows[0], hist.rows[-1]
@@ -265,8 +293,19 @@ MODES = {"overfit": mode_overfit, "stability": mode_stability,
 def main() -> int:
     modes = sys.argv[1:] or ["overfit"]
     print(f"campaign device: {jax.devices()[0]}", flush=True)
+    failures = []
     for m in modes:
-        MODES[m]()
+        try:
+            MODES[m]()
+        except Exception as e:  # noqa: BLE001 — one mode failing must not
+            # silently cancel the remaining modes' evidence
+            import traceback
+            traceback.print_exc()
+            failures.append((m, f"{type(e).__name__}: {e}"))
+    if failures:
+        print(f"CAMPAIGN FAILURES: {failures}", flush=True)
+        return 1
+    print("CAMPAIGN: ALL MODES PASS", flush=True)
     return 0
 
 

@@ -251,6 +251,46 @@ def test_trainer_fit_on_mesh():
         assert os.path.isdir(os.path.join(tmp, "m_best"))
 
 
+def test_checkpoint_interval_gates_saving():
+    """checkpoint_interval=0 disables checkpointing entirely; N>1 saves
+    'latest' every N epochs plus the final epoch ('best' still saves on
+    every improvement). TPU addition to the reference schema — each save
+    is a ~350 MB fetch through a remote-TPU tunnel (config.py)."""
+    import tempfile
+
+    from kasportsformer_tpu.train.loop import Trainer
+
+    model = _tiny_model()
+    params, state = model.init(jax.random.key(0))
+    train_set, test_set = _clipsets()
+
+    with tempfile.TemporaryDirectory() as tmp:
+        config = Config(batch_size=8, epochs=2, learning_rate=1e-3,
+                        warmup=False, training_epoch_patience=5,
+                        checkpoint_interval=0,
+                        new_checkpoint_dir=tmp, new_checkpoint_name="m",
+                        logger_dir_path="")
+        Trainer(config, model, train_set, test_set,
+                log=logging.getLogger("t")).fit(params, state)
+        assert os.listdir(tmp) == []
+
+    with tempfile.TemporaryDirectory() as tmp:
+        config = Config(batch_size=8, epochs=3, learning_rate=1e-3,
+                        warmup=False, training_epoch_patience=5,
+                        checkpoint_interval=2,
+                        new_checkpoint_dir=tmp, new_checkpoint_name="m",
+                        logger_dir_path="")
+        # the first fit donated params/state into its train step — re-init
+        params, state = model.init(jax.random.key(0))
+        Trainer(config, model, train_set, test_set,
+                log=logging.getLogger("t")).fit(params, state)
+        assert os.path.isdir(os.path.join(tmp, "m_latest"))
+        assert os.path.isdir(os.path.join(tmp, "m_best"))
+        from kasportsformer_tpu.train.loop import load_checkpoint_meta
+        # final epoch always saves 'latest' regardless of the interval
+        assert load_checkpoint_meta(os.path.join(tmp, "m_latest"))["epoch"] == 3
+
+
 def test_train_step_data_parallel_matches_single_device():
     from jax.sharding import NamedSharding, PartitionSpec as P
 
