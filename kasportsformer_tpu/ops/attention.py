@@ -116,6 +116,43 @@ def _tile_sublane(z, h: int, build: str):
     return jnp.concatenate([z] * h, axis=1)
 
 
+def _seg_rowmax(logits: jnp.ndarray, n: int, h: int) -> jnp.ndarray:
+    """Per-head max of (..., N, H*N) logits, uniform across each head's
+    N-lane segment — WITHOUT splitting the lane dim (Mosaic can't reshape
+    it). Circular doubling: ceil(log2(N)) rounds of within-segment lane
+    rotations + max; after round r every lane holds the max over a circular
+    window of 2^r segment positions, so the final rounds cover the whole
+    segment. A within-segment rotation by s is two global lane rolls
+    (no-wrap source j+s, wrap source j+s-n) blended by a static
+    position mask.
+
+    This per-head max is a CORRECTNESS requirement, not an optimization:
+    subtracting the row-GLOBAL max (softmax is shift-invariant within each
+    head, so it is mathematically valid) makes every exp of a head sitting
+    ~93+ below the global max underflow to 0 in bf16 (~104 in f32), giving
+    denom == 0 and 0/0 = NaN for that head's channels. Sharp trained
+    attention reaches such inter-head logit spreads: the round-4 overfit
+    campaign NaN'd at epoch 32 exactly this way (finite params, NaN
+    forward), while torch/XLA per-head softmax is immune.
+
+    Unconditional use measured -26% whole-model forward on v5e (1,010 ->
+    748 clips/s — Mosaic's lane rolls are not cheap), so the kernels run
+    the global-max fast path first and re-run the softmax through this
+    exact max under `pl.when` ONLY when a zero denominator proves a head
+    underflowed — free when healthy, correct when sharp.
+    """
+    lanes = h * n
+    pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, lanes), 2) % n
+    m = logits
+    s = 1
+    while s < n:
+        no_wrap = jnp.roll(m, -s, axis=-1)       # lane j <- lane j+s
+        wrap = jnp.roll(m, n - s, axis=-1)       # lane j <- lane j+s-n
+        m = jnp.maximum(m, jnp.where(pos + s < n, no_wrap, wrap))
+        s *= 2
+    return m
+
+
 def _attn_kernel(q_ref, k_ref, v_ref, mask_k_ref, mask_v_ref, rep_ref,
                  out_ref, *, scale: float, num_heads: int, build: str):
     blk, g0, n0, c0 = q_ref.shape
@@ -145,28 +182,39 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_k_ref, mask_v_ref, rep_ref,
             q, km, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32) * scale  # (G, N, H*N)
 
-    # Per-head softmax WITHOUT splitting the lane dim (Mosaic can't reshape
-    # it): subtract the row-global max (softmax is shift-invariant within
-    # each head segment), exponentiate — and normalize AFTER the value
-    # contraction (see module docstring).
-    rowmax = jnp.max(logits, axis=-1, keepdims=True)
-    e = jnp.exp(logits - rowmax).astype(q.dtype)  # (G, N, H*N)
-
     # vm: (G, H*N, C) — values tiled over heads, masked
     vm = _tile_sublane(v, h, build) * mask_v_ref[...][None]
-    out = jax.lax.dot_general(
-        e, vm, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)  # (G, N, C), unnormalized
-    # per-head softmax denominators, broadcast to each head's channels:
-    # mask_v[(h, j), c] = [head(c) == h], so e @ mask_v sums each head's exp
-    # weights and lands the sum on exactly that head's channel block.
-    gb = e.shape[0]
+    gb = logits.shape[0]
     mask_vb = jnp.broadcast_to(mask_v_ref[...][None], (gb, h * n0, c0))
-    denom = jax.lax.dot_general(
-        e, mask_vb, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)  # (G, N, C)
+
+    def softmax_av(m):
+        """exp at shift m -> unnormalized value contraction + per-head
+        denominators. The denominators come from one flat dot against the
+        value-side head mask: mask_v[(h, j), c] = [head(c) == h], so
+        e @ mask_v sums each head's exp weights and lands the sum on
+        exactly that head's channel block."""
+        e = jnp.exp(logits - m).astype(q.dtype)
+        out = jax.lax.dot_general(
+            e, vm, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)  # (G, N, C), unnormalized
+        denom = jax.lax.dot_general(
+            e, mask_vb, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)  # (G, N, C)
+        return out, denom
+
+    # Fast path: row-GLOBAL max (softmax is shift-invariant within each
+    # head segment), normalize AFTER the value contraction (see module
+    # docstring). A head sitting far below the global max can underflow to
+    # denom == 0 (0/0 = NaN) — detected below and redone exactly.
+    out, denom = softmax_av(jnp.max(logits, axis=-1, keepdims=True))
     out_ref[...] = (out / denom).astype(out_ref.dtype).reshape(
         blk, g0, n0, c0)
+
+    @pl.when(jnp.min(denom) <= 0)
+    def _exact_per_head_max():  # rare: inter-head logit spread > ~92
+        out2, denom2 = softmax_av(_seg_rowmax(logits, n0, h))
+        out_ref[...] = (out2 / denom2).astype(out_ref.dtype).reshape(
+            blk, g0, n0, c0)
 
 
 def masked_sdpa_pallas(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
@@ -249,55 +297,67 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, mask_v_ref,
     ke = _tile_sublane(k, h, build) * mask_v_ref[...][None]  # (G,H*N,C)
     logits = jax.lax.dot_general(
         q, ke, (((2,), (2,)), ((0,), (0,))), preferred_element_type=f32) * scale
-    rowmax = jnp.max(logits, axis=-1, keepdims=True)
-    e = jnp.exp(logits - rowmax)  # (G, N, H*N) f32
-
-    denom = jax.lax.dot_general(e, seg_ref[...], (((2,), (0,)), ((), ())),
-                                preferred_element_type=f32)
-    probs = e / denom  # (G, N, H*N) f32
-
     vm = _tile_sublane(v, h, build) * mask_v_ref[...][None]  # (G,H*N,C)
-
-    # dv = E (P^T g ⊙ mask_v) — contract P's sublane N axis directly (no
-    # VMEM transpose; Mosaic lowers the transposed-lhs dot natively)
-    dvm = jax.lax.dot_general(
-        probs.astype(q.dtype), g,
-        (((1,), (1,)), ((0,), (0,))), preferred_element_type=f32)  # (G,H*N,C)
-    dvm = dvm * mask_v_ref[...].astype(f32)[None]
-    dv = jax.lax.dot_general(rep_ref[...].astype(f32), dvm,
-                             (((1,), (1,)), ((), ())),
-                             preferred_element_type=f32)  # (N, G, C) -> fix
-    dv = jnp.swapaxes(dv, 0, 1)  # (G, N, C)
-
-    # dP = g V~^T — contract the minor C axes directly (no VMEM transpose)
-    dprobs = jax.lax.dot_general(
-        g, vm, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=f32)  # (G, N, H*N)
-    pd = probs * dprobs
-    correction = jax.lax.dot_general(pd, seg_ref[...], (((2,), (0,)), ((), ())),
-                                     preferred_element_type=f32)
-    dlogits = (probs * (dprobs - correction) * scale).astype(q.dtype)
-
-    # dq = dL K~  with K~ = the same head-tiled masked keys built above
-    dq = jax.lax.dot_general(dlogits, ke, (((2,), (1,)), ((0,), (0,))),
-                             preferred_element_type=f32)
-
-    # dk = E (dL^T q ⊙ mask_v) — transposed-lhs dot, no VMEM transpose
-    dkm = jax.lax.dot_general(
-        dlogits, q, (((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=f32)  # (G, H*N, C)
-    dkm = dkm * mask_v_ref[...].astype(f32)[None]
-    dk = jax.lax.dot_general(rep_ref[...].astype(f32), dkm,
-                             (((1,), (1,)), ((), ())),
-                             preferred_element_type=f32)
-    dk = jnp.swapaxes(dk, 0, 1)
 
     def store(ref, z):
         ref[...] = z.astype(ref.dtype).reshape(blk, g0, n0, c0)
 
-    store(dq_ref, dq)
-    store(dk_ref, dk)
-    store(dv_ref, dv)
+    def run(m):
+        """Full backward from the exp shift m; returns the per-head
+        denominators so the caller can detect underflow (see _seg_rowmax)."""
+        e = jnp.exp(logits - m)  # (G, N, H*N) f32
+        denom = jax.lax.dot_general(e, seg_ref[...], (((2,), (0,)), ((), ())),
+                                    preferred_element_type=f32)
+        probs = e / denom  # (G, N, H*N) f32
+
+        # dv = E (P^T g ⊙ mask_v) — contract P's sublane N axis directly (no
+        # VMEM transpose; Mosaic lowers the transposed-lhs dot natively)
+        dvm = jax.lax.dot_general(
+            probs.astype(q.dtype), g,
+            (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=f32)  # (G,H*N,C)
+        dvm = dvm * mask_v_ref[...].astype(f32)[None]
+        dv = jax.lax.dot_general(rep_ref[...].astype(f32), dvm,
+                                 (((1,), (1,)), ((), ())),
+                                 preferred_element_type=f32)  # (N, G, C)
+        dv = jnp.swapaxes(dv, 0, 1)  # (G, N, C)
+
+        # dP = g V~^T — contract the minor C axes directly (no VMEM transpose)
+        dprobs = jax.lax.dot_general(
+            g, vm, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=f32)  # (G, N, H*N)
+        pd = probs * dprobs
+        correction = jax.lax.dot_general(pd, seg_ref[...],
+                                         (((2,), (0,)), ((), ())),
+                                         preferred_element_type=f32)
+        dlogits = (probs * (dprobs - correction) * scale).astype(q.dtype)
+
+        # dq = dL K~  with K~ = the same head-tiled masked keys built above
+        dq = jax.lax.dot_general(dlogits, ke, (((2,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=f32)
+
+        # dk = E (dL^T q ⊙ mask_v) — transposed-lhs dot, no VMEM transpose
+        dkm = jax.lax.dot_general(
+            dlogits, q, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=f32)  # (G, H*N, C)
+        dkm = dkm * mask_v_ref[...].astype(f32)[None]
+        dk = jax.lax.dot_general(rep_ref[...].astype(f32), dkm,
+                                 (((1,), (1,)), ((), ())),
+                                 preferred_element_type=f32)
+        dk = jnp.swapaxes(dk, 0, 1)
+
+        store(dq_ref, dq)
+        store(dk_ref, dk)
+        store(dv_ref, dv)
+        return denom
+
+    # Fast path: row-global max; exact per-head max only on proven
+    # underflow (denom == 0 -> 0/0), mirroring the forward kernel.
+    denom = run(jnp.max(logits, axis=-1, keepdims=True))
+
+    @pl.when(jnp.min(denom) <= 0)
+    def _exact_per_head_max():  # rare: inter-head logit spread > ~104
+        run(_seg_rowmax(logits, n0, h))
 
 
 def masked_sdpa_bwd_pallas(q, k, v, g, scale: float, num_heads: int,

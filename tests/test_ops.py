@@ -62,6 +62,53 @@ def test_masked_sdpa_pallas_bf16_within_rounding():
     np.testing.assert_allclose(got, want, atol=3e-2, rtol=3e-2)
 
 
+def test_masked_sdpa_survives_large_interhead_logit_spread():
+    """Regression: the kernels must stay finite (and match per-head softmax)
+    when one head's logits tower ~100s above another's. The retired
+    row-GLOBAL max subtraction underflowed the weak head's every exp to 0
+    (denom == 0 -> 0/0 = NaN) — finite params, NaN forward; the round-4
+    overfit campaign hit exactly this at epoch 32 once trained attention got
+    sharp. _seg_rowmax's per-head segment max is exact, so f32 outputs match
+    XLA to accumulation order even at extreme spreads."""
+    from kasportsformer_tpu.ops.attention import masked_sdpa_bwd_pallas
+
+    shape = (2, 4, 17, 128)
+    q = RNG.standard_normal(shape).astype(np.float32)
+    k = RNG.standard_normal(shape).astype(np.float32)
+    v = RNG.standard_normal(shape).astype(np.float32)
+    # head 0 owns channels 0:16 (8 heads x 16) — blow its logits up to ~1e4
+    q[..., :16] *= 60.0
+    k[..., :16] *= 60.0
+    scale = 1.0 / 4.0
+
+    want = np.asarray(masked_sdpa_xla(jnp.asarray(q), jnp.asarray(k),
+                                      jnp.asarray(v), scale, 8))
+    got = np.asarray(masked_sdpa_pallas(jnp.asarray(q), jnp.asarray(k),
+                                        jnp.asarray(v), scale, 8,
+                                        interpret=True))
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+    # bf16 (the training dtype) must be finite; values are argmax-dominated
+    # at this spread so only finiteness is contractual
+    qb, kb, vb = (jnp.asarray(a, jnp.bfloat16) for a in (q, k, v))
+    gotb = np.asarray(masked_sdpa_pallas(qb, kb, vb, scale, 8,
+                                         interpret=True), np.float32)
+    assert np.isfinite(gotb).all()
+
+    g = jnp.asarray(RNG.standard_normal(shape).astype(np.float32))
+    grads = masked_sdpa_bwd_pallas(jnp.asarray(q), jnp.asarray(k),
+                                   jnp.asarray(v), g, scale, 8,
+                                   interpret=True)
+    _, vjp = jax.vjp(lambda a, b, c: masked_sdpa_xla(a, b, c, scale, 8),
+                     jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    wants = vjp(g)
+    for got_g, want_g in zip(grads, wants):
+        assert np.isfinite(np.asarray(got_g)).all()
+        np.testing.assert_allclose(np.asarray(got_g), np.asarray(want_g),
+                                   atol=1e-3, rtol=1e-3)
+
+
 def test_masked_sdpa_pallas_block_sizes():
     q = RNG.standard_normal((4, 3, 9, 32)).astype(np.float32)
     want = np.asarray(masked_sdpa_pallas(jnp.asarray(q), jnp.asarray(q),
