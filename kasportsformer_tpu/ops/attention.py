@@ -154,7 +154,8 @@ def _seg_rowmax(logits: jnp.ndarray, n: int, h: int) -> jnp.ndarray:
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, mask_k_ref, mask_v_ref, rep_ref,
-                 out_ref, *, scale: float, num_heads: int, build: str):
+                 out_ref, *, scale: float, num_heads: int, build: str,
+                 stable: bool):
     blk, g0, n0, c0 = q_ref.shape
 
     def load(ref):
@@ -182,47 +183,53 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_k_ref, mask_v_ref, rep_ref,
             q, km, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32) * scale  # (G, N, H*N)
 
+    # Per-head softmax WITHOUT splitting the lane dim (Mosaic can't reshape
+    # it). Default (stable=False): subtract the row-GLOBAL max — softmax is
+    # shift-invariant within each head segment, but a head sitting ~93+
+    # below the global max underflows its every exp to 0 and its
+    # denominator to 0/0 = NaN; the caller detects that and re-runs the
+    # stable=True variant, which subtracts the exact per-head _seg_rowmax
+    # (too costly in VPU rolls and VMEM stack to run unconditionally —
+    # docs/ROUND_NOTES.md round 4). Normalization happens AFTER the value
+    # contraction (see module docstring).
+    m = (_seg_rowmax(logits, n0, h) if stable
+         else jnp.max(logits, axis=-1, keepdims=True))
+    e = jnp.exp(logits - m).astype(q.dtype)  # (G, N, H*N)
+
     # vm: (G, H*N, C) — values tiled over heads, masked
     vm = _tile_sublane(v, h, build) * mask_v_ref[...][None]
-    gb = logits.shape[0]
+    out = jax.lax.dot_general(
+        e, vm, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # (G, N, C), unnormalized
+    # per-head softmax denominators, broadcast to each head's channels:
+    # mask_v[(h, j), c] = [head(c) == h], so e @ mask_v sums each head's exp
+    # weights and lands the sum on exactly that head's channel block.
+    gb = e.shape[0]
     mask_vb = jnp.broadcast_to(mask_v_ref[...][None], (gb, h * n0, c0))
-
-    def softmax_av(m):
-        """exp at shift m -> unnormalized value contraction + per-head
-        denominators. The denominators come from one flat dot against the
-        value-side head mask: mask_v[(h, j), c] = [head(c) == h], so
-        e @ mask_v sums each head's exp weights and lands the sum on
-        exactly that head's channel block."""
-        e = jnp.exp(logits - m).astype(q.dtype)
-        out = jax.lax.dot_general(
-            e, vm, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)  # (G, N, C), unnormalized
-        denom = jax.lax.dot_general(
-            e, mask_vb, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)  # (G, N, C)
-        return out, denom
-
-    # Fast path: row-GLOBAL max (softmax is shift-invariant within each
-    # head segment), normalize AFTER the value contraction (see module
-    # docstring). A head sitting far below the global max can underflow to
-    # denom == 0 (0/0 = NaN) — detected below and redone exactly.
-    out, denom = softmax_av(jnp.max(logits, axis=-1, keepdims=True))
+    denom = jax.lax.dot_general(
+        e, mask_vb, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # (G, N, C)
     out_ref[...] = (out / denom).astype(out_ref.dtype).reshape(
         blk, g0, n0, c0)
-
-    @pl.when(jnp.min(denom) <= 0)
-    def _exact_per_head_max():  # rare: inter-head logit spread > ~92
-        out2, denom2 = softmax_av(_seg_rowmax(logits, n0, h))
-        out_ref[...] = (out2 / denom2).astype(out_ref.dtype).reshape(
-            blk, g0, n0, c0)
 
 
 def masked_sdpa_pallas(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                        scale: float, num_heads: int, block_b: int = 1,
                        interpret: bool = False,
-                       build: str | None = None) -> jnp.ndarray:
+                       build: str | None = None,
+                       checked: bool = True) -> jnp.ndarray:
     """q, k, v: (B, G, N, C) — attention over N, per (B, G). `block_b` batch
-    elements are processed per grid step to amortize per-step overhead."""
+    elements are processed per grid step to amortize per-step overhead.
+
+    `checked` (default): if the fast global-rowmax kernel produced NaN —
+    an inter-head logit spread > ~92 underflowed a whole head's exps, see
+    _seg_rowmax — re-run the stable per-head-max variant via `lax.cond`.
+    The check is one fused isnan-reduce over the output; the stable kernel
+    compiles alongside but executes only on actual underflow. The fallback
+    lives at the XLA level because an in-kernel `pl.when` branch doubles
+    the Mosaic VMEM stack (both paths' allocations coexist): the f32
+    training shape went 212 KB, then 7.35 MB, past the 16 MB scoped limit
+    that way (docs/ROUND_NOTES.md round 4)."""
     b, g, n, c = q.shape
     h = num_heads
     while b % block_b:
@@ -240,20 +247,30 @@ def masked_sdpa_pallas(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     rep = jnp.asarray(np.tile(np.eye(n, dtype=np.float32), (1, h)), q.dtype)
     rep_spec = pl.BlockSpec((n, h * n), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale, num_heads=num_heads,
-                          build=build or _attn_build()),
-        grid=(b // block_b,),
-        in_specs=[spec, spec, spec, mk_spec, mv_spec, rep_spec],
-        out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
-        interpret=interpret,
-    )(q, k, v, mask_k, mask_v, rep)
+
+    def call(stable: bool) -> jnp.ndarray:
+        return pl.pallas_call(
+            functools.partial(_attn_kernel, scale=scale,
+                              num_heads=num_heads,
+                              build=build or _attn_build(), stable=stable),
+            grid=(b // block_b,),
+            in_specs=[spec, spec, spec, mk_spec, mv_spec, rep_spec],
+            out_specs=spec,
+            out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+            interpret=interpret,
+        )(q, k, v, mask_k, mask_v, rep)
+
+    out = call(stable=False)
+    if not checked:
+        return out
+    return jax.lax.cond(jnp.any(jnp.isnan(out)),
+                        lambda: call(stable=True), lambda: out)
 
 
 def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, mask_v_ref,
                      seg_ref, rep_ref, dq_ref, dk_ref, dv_ref, *,
-                     scale: float, num_heads: int, build: str):
+                     scale: float, num_heads: int, build: str,
+                     stable: bool):
     """Backward of the masked attention, same VMEM expansions as forward.
 
     With P the per-head probs, the gradients in expanded (H*N) coordinates:
@@ -279,6 +296,8 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, mask_v_ref,
     not dot-issue bound (docs/ROUND_NOTES.md).
     """
     blk, g0, n0, c0 = q_ref.shape
+    h = num_heads
+    f32 = jnp.float32
 
     def load(ref):
         return ref[...].reshape(blk * g0, n0, c0)
@@ -287,8 +306,6 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, mask_v_ref,
     k = load(k_ref)
     v = load(v_ref)
     g = load(g_ref)
-    h = num_heads
-    f32 = jnp.float32
 
     # ke: (G, H*N, C) head-tiled masked keys — used BOTH for the logits
     # recompute (contracting the minor C axes of q and ke — km would be
@@ -297,72 +314,67 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, mask_v_ref,
     ke = _tile_sublane(k, h, build) * mask_v_ref[...][None]  # (G,H*N,C)
     logits = jax.lax.dot_general(
         q, ke, (((2,), (2,)), ((0,), (0,))), preferred_element_type=f32) * scale
+    # stable: exact per-head max — executed only via the caller's lax.cond
+    # NaN fallback (see masked_sdpa_pallas's `checked` docstring)
+    m = (_seg_rowmax(logits, n0, h) if stable
+         else jnp.max(logits, axis=-1, keepdims=True))
+    e = jnp.exp(logits - m)  # (G, N, H*N) f32
+
+    denom = jax.lax.dot_general(e, seg_ref[...], (((2,), (0,)), ((), ())),
+                                preferred_element_type=f32)
+    probs = e / denom  # (G, N, H*N) f32
+
     vm = _tile_sublane(v, h, build) * mask_v_ref[...][None]  # (G,H*N,C)
+
+    # dv = E (P^T g ⊙ mask_v) — contract P's sublane N axis directly (no
+    # VMEM transpose; Mosaic lowers the transposed-lhs dot natively)
+    dvm = jax.lax.dot_general(
+        probs.astype(q.dtype), g,
+        (((1,), (1,)), ((0,), (0,))), preferred_element_type=f32)  # (G,H*N,C)
+    dvm = dvm * mask_v_ref[...].astype(f32)[None]
+    dv = jax.lax.dot_general(rep_ref[...].astype(f32), dvm,
+                             (((1,), (1,)), ((), ())),
+                             preferred_element_type=f32)  # (N, G, C) -> fix
+    dv = jnp.swapaxes(dv, 0, 1)  # (G, N, C)
+
+    # dP = g V~^T — contract the minor C axes directly (no VMEM transpose)
+    dprobs = jax.lax.dot_general(
+        g, vm, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=f32)  # (G, N, H*N)
+    pd = probs * dprobs
+    correction = jax.lax.dot_general(pd, seg_ref[...], (((2,), (0,)), ((), ())),
+                                     preferred_element_type=f32)
+    dlogits = (probs * (dprobs - correction) * scale).astype(q.dtype)
+
+    # dq = dL K~  with K~ = the same head-tiled masked keys built above
+    dq = jax.lax.dot_general(dlogits, ke, (((2,), (1,)), ((0,), (0,))),
+                             preferred_element_type=f32)
+
+    # dk = E (dL^T q ⊙ mask_v) — transposed-lhs dot, no VMEM transpose
+    dkm = jax.lax.dot_general(
+        dlogits, q, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=f32)  # (G, H*N, C)
+    dkm = dkm * mask_v_ref[...].astype(f32)[None]
+    dk = jax.lax.dot_general(rep_ref[...].astype(f32), dkm,
+                             (((1,), (1,)), ((), ())),
+                             preferred_element_type=f32)
+    dk = jnp.swapaxes(dk, 0, 1)
 
     def store(ref, z):
         ref[...] = z.astype(ref.dtype).reshape(blk, g0, n0, c0)
 
-    def run(m):
-        """Full backward from the exp shift m; returns the per-head
-        denominators so the caller can detect underflow (see _seg_rowmax)."""
-        e = jnp.exp(logits - m)  # (G, N, H*N) f32
-        denom = jax.lax.dot_general(e, seg_ref[...], (((2,), (0,)), ((), ())),
-                                    preferred_element_type=f32)
-        probs = e / denom  # (G, N, H*N) f32
-
-        # dv = E (P^T g ⊙ mask_v) — contract P's sublane N axis directly (no
-        # VMEM transpose; Mosaic lowers the transposed-lhs dot natively)
-        dvm = jax.lax.dot_general(
-            probs.astype(q.dtype), g,
-            (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=f32)  # (G,H*N,C)
-        dvm = dvm * mask_v_ref[...].astype(f32)[None]
-        dv = jax.lax.dot_general(rep_ref[...].astype(f32), dvm,
-                                 (((1,), (1,)), ((), ())),
-                                 preferred_element_type=f32)  # (N, G, C)
-        dv = jnp.swapaxes(dv, 0, 1)  # (G, N, C)
-
-        # dP = g V~^T — contract the minor C axes directly (no VMEM transpose)
-        dprobs = jax.lax.dot_general(
-            g, vm, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=f32)  # (G, N, H*N)
-        pd = probs * dprobs
-        correction = jax.lax.dot_general(pd, seg_ref[...],
-                                         (((2,), (0,)), ((), ())),
-                                         preferred_element_type=f32)
-        dlogits = (probs * (dprobs - correction) * scale).astype(q.dtype)
-
-        # dq = dL K~  with K~ = the same head-tiled masked keys built above
-        dq = jax.lax.dot_general(dlogits, ke, (((2,), (1,)), ((0,), (0,))),
-                                 preferred_element_type=f32)
-
-        # dk = E (dL^T q ⊙ mask_v) — transposed-lhs dot, no VMEM transpose
-        dkm = jax.lax.dot_general(
-            dlogits, q, (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=f32)  # (G, H*N, C)
-        dkm = dkm * mask_v_ref[...].astype(f32)[None]
-        dk = jax.lax.dot_general(rep_ref[...].astype(f32), dkm,
-                                 (((1,), (1,)), ((), ())),
-                                 preferred_element_type=f32)
-        dk = jnp.swapaxes(dk, 0, 1)
-
-        store(dq_ref, dq)
-        store(dk_ref, dk)
-        store(dv_ref, dv)
-        return denom
-
-    # Fast path: row-global max; exact per-head max only on proven
-    # underflow (denom == 0 -> 0/0), mirroring the forward kernel.
-    denom = run(jnp.max(logits, axis=-1, keepdims=True))
-
-    @pl.when(jnp.min(denom) <= 0)
-    def _exact_per_head_max():  # rare: inter-head logit spread > ~104
-        run(_seg_rowmax(logits, n0, h))
+    store(dq_ref, dq)
+    store(dk_ref, dk)
+    store(dv_ref, dv)
 
 
 def masked_sdpa_bwd_pallas(q, k, v, g, scale: float, num_heads: int,
                            interpret: bool = False,
-                           build: str | None = None):
+                           build: str | None = None,
+                           checked: bool = True):
+    """`checked`: NaN-detect + stable per-head-max re-run via lax.cond,
+    exactly as in masked_sdpa_pallas (the f32 backward underflows whole
+    heads at inter-head logit spreads > ~104)."""
     b, g0, n, c = q.shape
     h = num_heads
     spec = pl.BlockSpec((1,) + q.shape[1:3] + (c,), lambda i: (i, 0, 0, 0),
@@ -378,16 +390,26 @@ def masked_sdpa_bwd_pallas(q, k, v, g, scale: float, num_heads: int,
                             memory_space=pltpu.VMEM)
 
     out_shape = [jax.ShapeDtypeStruct(q.shape, q.dtype)] * 3
-    return pl.pallas_call(
-        functools.partial(_attn_bwd_kernel, scale=scale, num_heads=num_heads,
-                          build=build or _attn_build()),
-        grid=(b,),
-        in_specs=[spec, spec, spec, spec, cspec(mask_v),
-                  cspec(seg), cspec(rep)],
-        out_specs=[spec, spec, spec],
-        out_shape=out_shape,
-        interpret=interpret,
-    )(q, k, v, g, mask_v, seg, rep)
+
+    def call(stable: bool):
+        return pl.pallas_call(
+            functools.partial(_attn_bwd_kernel, scale=scale,
+                              num_heads=num_heads,
+                              build=build or _attn_build(), stable=stable),
+            grid=(b,),
+            in_specs=[spec, spec, spec, spec, cspec(mask_v),
+                      cspec(seg), cspec(rep)],
+            out_specs=[spec, spec, spec],
+            out_shape=out_shape,
+            interpret=interpret,
+        )(q, k, v, g, mask_v, seg, rep)
+
+    grads = call(stable=False)
+    if not checked:
+        return grads
+    # a zero denominator poisons probs, so any single output carries the NaN
+    return jax.lax.cond(jnp.any(jnp.isnan(grads[0])),
+                        lambda: call(stable=True), lambda: grads)
 
 
 def masked_sdpa_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
