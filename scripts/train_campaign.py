@@ -120,7 +120,14 @@ def synthetic_clipsets(n_train: int, n_test: int, seed: int,
         labels_scaled=labels_scaled,
         factors=np.ones((n_test, 27), np.float32),
         actions=actions,
-        res=np.tile(np.array([[RES_H, RES_W]], np.float32), (n_test, 1)),
+        # ClipSet.res convention is (res_w, res_h) — data/clips.py:41,
+        # sources.py:resolution_table. This line shipped as (H, W) through
+        # every session-2/3 overfit attempt, denormalizing predictions with
+        # res_w=1216 while labels_scaled used 1312: a 7.3% scale mismatch a
+        # PERFECT model scores ~(1312-1216)/2 * mean|rel| ~ 11 mm on — the
+        # exact "noise floor" all those runs plateaued at. The recipe was
+        # never the problem.
+        res=np.tile(np.array([[RES_W, RES_H]], np.float32), (n_test, 1)),
     )
     return train, test
 
