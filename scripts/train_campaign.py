@@ -206,12 +206,15 @@ def mode_overfit() -> None:
         epochs=int(os.environ.get("KASF_CAMPAIGN_EPOCHS", "500")),
         learning_rate_decay=lr_decay, training_epoch_patience=patience,
         checkpoint_interval=0)
-    _, _, summary, hist, wall = run_fit("overfit_bf16", config,
-                                        train_set, test_set)
-    best = summary["min_mpjpe"]
-    steps = len(hist.rows) * (n * tile // 128)
-    print(f"bf16: best eval MPJPE {best:.4f} mm after {len(hist.rows)} epochs "
-          f"({steps} optimizer steps, {wall:.0f}s)")
+    if not os.environ.get("KASF_CAMPAIGN_SKIP_BF16"):
+        _, _, summary, hist, wall = run_fit("overfit_bf16", config,
+                                            train_set, test_set)
+        best = summary["min_mpjpe"]
+        steps = len(hist.rows) * (n * tile // 128)
+        print(f"bf16: best eval MPJPE {best:.4f} mm after {len(hist.rows)} "
+              f"epochs ({steps} optimizer steps, {wall:.0f}s)")
+    else:
+        hist = None  # f32-only rerun (time-boxed sessions)
 
     f32_epochs = int(os.environ.get("KASF_CAMPAIGN_F32_EPOCHS", "60"))
     config32 = base_config(compute_dtype="float32", epochs=f32_epochs,
@@ -220,11 +223,13 @@ def mode_overfit() -> None:
                            checkpoint_interval=0)
     _, _, s32, h32, wall32 = run_fit("overfit_f32", config32,
                                      train_set, test_set)
-    e = min(f32_epochs, len(hist.rows), len(h32.rows)) - 1
     print(f"f32 control: best {s32['min_mpjpe']:.4f} mm in {len(h32.rows)} "
-          f"epochs ({wall32:.0f}s); at epoch {e + 1}: "
-          f"bf16 {hist.rows[e]['eval/mpjpe']:.4f} vs f32 {h32.rows[e]['eval/mpjpe']:.4f} mm")
-    if os.environ.get("KASF_CAMPAIGN_TINY"):
+          f"epochs ({wall32:.0f}s)")
+    if hist is not None:
+        e = min(f32_epochs, len(hist.rows), len(h32.rows)) - 1
+        print(f"  at epoch {e + 1}: bf16 {hist.rows[e]['eval/mpjpe']:.4f} "
+              f"vs f32 {h32.rows[e]['eval/mpjpe']:.4f} mm")
+    if os.environ.get("KASF_CAMPAIGN_TINY") and hist is not None:
         assert hist.rows[-1]["eval/mpjpe"] < hist.rows[0]["eval/mpjpe"], \
             "tiny smoke: eval MPJPE did not decrease"
     else:
