@@ -154,8 +154,8 @@ def _seg_rowmax(logits: jnp.ndarray, n: int, h: int) -> jnp.ndarray:
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, mask_k_ref, mask_v_ref, rep_ref,
-                 out_ref, *, scale: float, num_heads: int, build: str,
-                 stable: bool):
+                 out_ref, flag_ref, *, scale: float, num_heads: int,
+                 build: str, stable: bool):
     blk, g0, n0, c0 = q_ref.shape
 
     def load(ref):
@@ -211,6 +211,14 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_k_ref, mask_v_ref, rep_ref,
         preferred_element_type=jnp.float32)  # (G, N, C)
     out_ref[...] = (out / denom).astype(out_ref.dtype).reshape(
         blk, g0, n0, c0)
+    # underflow sentinel: a head whose every exp underflowed has denom == 0
+    # (-> 0/0 = NaN on its channels). The caller's lax.cond reads this
+    # scalar instead of isnan-reducing the full output (see
+    # masked_sdpa_pallas). NaN inputs give a NaN flag, which compares False
+    # against <= 0 — NaN then propagates without a useless stable re-run.
+    # (One full lane of copies: Mosaic requires lane-width output blocks.)
+    flag_ref[...] = jnp.broadcast_to(jnp.min(denom).reshape(1, 1, 1),
+                                     flag_ref.shape)
 
 
 def masked_sdpa_pallas(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
@@ -221,10 +229,13 @@ def masked_sdpa_pallas(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     """q, k, v: (B, G, N, C) — attention over N, per (B, G). `block_b` batch
     elements are processed per grid step to amortize per-step overhead.
 
-    `checked` (default): if the fast global-rowmax kernel produced NaN —
-    an inter-head logit spread > ~92 underflowed a whole head's exps, see
-    _seg_rowmax — re-run the stable per-head-max variant via `lax.cond`.
-    The check is one fused isnan-reduce over the output; the stable kernel
+    `checked` (default): if the fast global-rowmax kernel underflowed a
+    whole head's exps — an inter-head logit spread > ~92, see _seg_rowmax —
+    re-run the stable per-head-max variant via `lax.cond`. Detection is a
+    per-grid-step min-denominator flag the kernel emits (a zero denominator
+    IS the pathology, and it is already computed in VMEM), so the check
+    costs a (b,)-scalar compare instead of an isnan reduce over the full
+    output (~2% of the whole forward at 104 calls). The stable kernel
     compiles alongside but executes only on actual underflow. The fallback
     lives at the XLA level because an in-kernel `pl.when` branch doubles
     the Mosaic VMEM stack (both paths' allocations coexist): the f32
@@ -248,27 +259,32 @@ def masked_sdpa_pallas(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     rep_spec = pl.BlockSpec((n, h * n), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
 
-    def call(stable: bool) -> jnp.ndarray:
+    grid = b // block_b
+    flag_spec = pl.BlockSpec((1, 1, 128), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+
+    def call(stable: bool):
         return pl.pallas_call(
             functools.partial(_attn_kernel, scale=scale,
                               num_heads=num_heads,
                               build=build or _attn_build(), stable=stable),
-            grid=(b // block_b,),
+            grid=(grid,),
             in_specs=[spec, spec, spec, mk_spec, mv_spec, rep_spec],
-            out_specs=spec,
-            out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+            out_specs=[spec, flag_spec],
+            out_shape=[jax.ShapeDtypeStruct(q.shape, q.dtype),
+                       jax.ShapeDtypeStruct((grid, 1, 128), jnp.float32)],
             interpret=interpret,
         )(q, k, v, mask_k, mask_v, rep)
 
-    out = call(stable=False)
+    out, flag = call(stable=False)
     if not checked:
         return out
-    return jax.lax.cond(jnp.any(jnp.isnan(out)),
-                        lambda: call(stable=True), lambda: out)
+    return jax.lax.cond(jnp.any(flag <= 0.0),
+                        lambda: call(stable=True)[0], lambda: out)
 
 
 def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, mask_v_ref,
-                     seg_ref, rep_ref, dq_ref, dk_ref, dv_ref, *,
+                     seg_ref, rep_ref, dq_ref, dk_ref, dv_ref, flag_ref, *,
                      scale: float, num_heads: int, build: str,
                      stable: bool):
     """Backward of the masked attention, same VMEM expansions as forward.
@@ -323,6 +339,9 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, mask_v_ref,
     denom = jax.lax.dot_general(e, seg_ref[...], (((2,), (0,)), ((), ())),
                                 preferred_element_type=f32)
     probs = e / denom  # (G, N, H*N) f32
+    # underflow sentinel — same contract as the forward kernel's flag
+    flag_ref[...] = jnp.broadcast_to(jnp.min(denom).reshape(1, 1, 1),
+                                     flag_ref.shape)
 
     vm = _tile_sublane(v, h, build) * mask_v_ref[...][None]  # (G,H*N,C)
 
@@ -389,7 +408,10 @@ def masked_sdpa_bwd_pallas(q, k, v, g, scale: float, num_heads: int,
         return pl.BlockSpec(arr.shape, lambda i: tuple(0 for _ in arr.shape),
                             memory_space=pltpu.VMEM)
 
-    out_shape = [jax.ShapeDtypeStruct(q.shape, q.dtype)] * 3
+    flag_spec = pl.BlockSpec((1, 1, 128), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = [jax.ShapeDtypeStruct(q.shape, q.dtype)] * 3 + [
+        jax.ShapeDtypeStruct((b, 1, 128), jnp.float32)]
 
     def call(stable: bool):
         return pl.pallas_call(
@@ -399,17 +421,19 @@ def masked_sdpa_bwd_pallas(q, k, v, g, scale: float, num_heads: int,
             grid=(b,),
             in_specs=[spec, spec, spec, spec, cspec(mask_v),
                       cspec(seg), cspec(rep)],
-            out_specs=[spec, spec, spec],
+            out_specs=[spec, spec, spec, flag_spec],
             out_shape=out_shape,
             interpret=interpret,
         )(q, k, v, g, mask_v, seg, rep)
 
-    grads = call(stable=False)
+    *grads, flag = call(stable=False)
+    grads = tuple(grads)
     if not checked:
         return grads
-    # a zero denominator poisons probs, so any single output carries the NaN
-    return jax.lax.cond(jnp.any(jnp.isnan(grads[0])),
-                        lambda: call(stable=True), lambda: grads)
+    # a zero denominator poisons probs and thus every grad — the kernel's
+    # min-denom flag detects it without reducing the full outputs
+    return jax.lax.cond(jnp.any(flag <= 0.0),
+                        lambda: tuple(call(stable=True)[:3]), lambda: grads)
 
 
 def masked_sdpa_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
