@@ -34,6 +34,8 @@ elsewhere.
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 import functools
 import os
 
@@ -80,6 +82,75 @@ def _fwd_build_default(n: int) -> str:
 # the forward dispatch uses _fwd_build_default(). Call-time read.
 def _attn_build() -> str:
     return os.environ.get("KASF_ATTN_BUILD", "concat")
+
+
+# NaN-guard placement for the sdpa kernels (call/trace-time read, see
+# docs/KNOBS.md). Policy values (KASF_ATTN_GUARD):
+#   "outer"   (default) — callers that wrap their whole forward/step in
+#             `nan_guarded` hoist the fallback to ONE lax.cond on the final
+#             output (NaN from an underflowed head propagates there); the
+#             fast path pays nothing per kernel call. At the kernel level
+#             "outer" degrades to "percall", so a path that never wraps
+#             (direct masked_sdpa users) still self-checks.
+#   "percall" — every kernel call carries its own min-denominator lax.cond
+#             fallback (the round-4 shape; ~2% fwd at 104 calls/forward).
+#   "off"     — unchecked fast kernels (probes/ablation only: silent NaN).
+#   "stable"  — unconditionally run the exact per-head _seg_rowmax variant.
+# `nan_guarded` scopes the kernel-level mode via a trace-time contextvar
+# ("off" for its fast trace, "stable" for its fallback trace), overriding
+# the env policy inside its traces.
+_GUARD_SCOPE: contextvars.ContextVar[str | None] = contextvars.ContextVar(
+    "kasf_attn_guard_scope", default=None)
+
+
+def _attn_guard() -> str:
+    override = _GUARD_SCOPE.get()
+    if override is not None:
+        return override
+    return os.environ.get("KASF_ATTN_GUARD", "outer")
+
+
+@contextlib.contextmanager
+def guard_scope(mode: str):
+    """Trace-time kernel guard override ('percall' | 'off' | 'stable')."""
+    token = _GUARD_SCOPE.set(mode)
+    try:
+        yield
+    finally:
+        _GUARD_SCOPE.reset(token)
+
+
+def nan_guarded(fn):
+    """Hoist the sdpa kernels' NaN fallback from per-call to per-`fn`.
+
+    Under the "outer" guard policy (the default), returns a wrapper that
+    traces `fn` with UNCHECKED fast kernels, reduces one isnan over the
+    (small) outputs, and on NaN re-runs `fn` through the exact per-head-max
+    stable kernels via a single `lax.cond` — correctness identical to the
+    per-call guard (an underflowed head's 0/0 NaN propagates through every
+    downstream matmul/norm to the output), at one cond per forward instead
+    of 104 (measured round 5: the per-call conds cost ~2-3% fwd / ~7%
+    train). Under any other policy returns `fn` unchanged (the kernels keep
+    their own per-call behavior). Trace-time dispatch — wrap INSIDE jit."""
+    if _attn_guard() != "outer":
+        return fn
+
+    def wrapped(*args):
+        with guard_scope("off"):
+            fast = fn(*args)
+        leaves = [x for x in jax.tree.leaves(fast)
+                  if jnp.issubdtype(jnp.asarray(x).dtype, jnp.inexact)]
+        bad = jnp.zeros((), jnp.bool_)
+        for x in leaves:
+            bad = bad | jnp.isnan(x).any()
+
+        def redo(_):
+            with guard_scope("stable"):
+                return fn(*args)
+
+        return jax.lax.cond(bad, redo, lambda _: fast, None)
+
+    return wrapped
 
 
 @functools.lru_cache(maxsize=8)
@@ -225,7 +296,7 @@ def masked_sdpa_pallas(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                        scale: float, num_heads: int, block_b: int = 1,
                        interpret: bool = False,
                        build: str | None = None,
-                       checked: bool = True) -> jnp.ndarray:
+                       checked: bool | None = None) -> jnp.ndarray:
     """q, k, v: (B, G, N, C) — attention over N, per (B, G). `block_b` batch
     elements are processed per grid step to amortize per-step overhead.
 
@@ -240,7 +311,13 @@ def masked_sdpa_pallas(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     lives at the XLA level because an in-kernel `pl.when` branch doubles
     the Mosaic VMEM stack (both paths' allocations coexist): the f32
     training shape went 212 KB, then 7.35 MB, past the 16 MB scoped limit
-    that way (docs/ROUND_NOTES.md round 4)."""
+    that way (docs/ROUND_NOTES.md round 4).
+
+    `checked=None` (the callers' default) resolves from the KASF_ATTN_GUARD
+    knob: "percall" -> True, "off" -> False, "stable" -> run the exact
+    per-head-max kernel unconditionally (no cond at all)."""
+    guard = _attn_guard() if checked is None else ("percall" if checked
+                                                  else "off")
     b, g, n, c = q.shape
     h = num_heads
     while b % block_b:
@@ -276,8 +353,10 @@ def masked_sdpa_pallas(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             interpret=interpret,
         )(q, k, v, mask_k, mask_v, rep)
 
+    if guard == "stable":
+        return call(stable=True)[0]
     out, flag = call(stable=False)
-    if not checked:
+    if guard == "off":
         return out
     return jax.lax.cond(jnp.any(flag <= 0.0),
                         lambda: call(stable=True)[0], lambda: out)
@@ -390,10 +469,12 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, mask_v_ref,
 def masked_sdpa_bwd_pallas(q, k, v, g, scale: float, num_heads: int,
                            interpret: bool = False,
                            build: str | None = None,
-                           checked: bool = True):
+                           checked: bool | None = None):
     """`checked`: NaN-detect + stable per-head-max re-run via lax.cond,
     exactly as in masked_sdpa_pallas (the f32 backward underflows whole
-    heads at inter-head logit spreads > ~104)."""
+    heads at inter-head logit spreads > ~104). None -> KASF_ATTN_GUARD."""
+    guard = _attn_guard() if checked is None else ("percall" if checked
+                                                  else "off")
     b, g0, n, c = q.shape
     h = num_heads
     spec = pl.BlockSpec((1,) + q.shape[1:3] + (c,), lambda i: (i, 0, 0, 0),
@@ -426,9 +507,11 @@ def masked_sdpa_bwd_pallas(q, k, v, g, scale: float, num_heads: int,
             interpret=interpret,
         )(q, k, v, g, mask_v, seg, rep)
 
+    if guard == "stable":
+        return tuple(call(stable=True)[:3])
     *grads, flag = call(stable=False)
     grads = tuple(grads)
-    if not checked:
+    if guard == "off":
         return grads
     # a zero denominator poisons probs and thus every grad — the kernel's
     # min-denom flag detects it without reducing the full outputs

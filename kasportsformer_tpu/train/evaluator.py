@@ -66,7 +66,11 @@ def tta_forward(model, params, state, x: jnp.ndarray, flip: bool,
     reduction, with flip TTA already inside the sampler) define
     `eval_predict(params, state, x)` and bypass the generic TTA."""
     if hasattr(model, "eval_predict"):
-        return model.eval_predict(params, state, x)
+        # outer NaN-guard policy: one cond on the predictions instead of
+        # per-kernel conds inside the sampler (docs/KNOBS.md)
+        from kasportsformer_tpu.ops.attention import nan_guarded
+
+        return nan_guarded(model.eval_predict)(params, state, x)
 
     def fwd(xb):
         return model.apply(params, state, xb, train=False)[0]

@@ -287,6 +287,28 @@ def make_train_step(model, config: Config, optimizer: optax.GradientTransformati
     batch shardings; gradient all-reduce rides ICI automatically."""
     grads_fn = make_grads_fn(model, config)
 
+    def guarded_grads_fn(params, state, x, y, weights, model_key):
+        """Under the default "outer" NaN-guard policy (docs/KNOBS.md): run
+        the whole forward+backward with UNCHECKED fast sdpa kernels and put
+        ONE lax.cond on isnan(loss_total) — an underflowed head's 0/0 NaN
+        propagates through the forward to the loss, and the backward kernels
+        (f32 exp) underflow strictly later than the forward's bf16-cast exp
+        weights, so a clean loss implies clean grads. The per-call guard's
+        104 conds/forward cost ~7% of the train step (measured round 5)."""
+        from kasportsformer_tpu.ops.attention import _attn_guard, guard_scope
+
+        if _attn_guard() != "outer":
+            return grads_fn(params, state, x, y, weights, model_key)
+        with guard_scope("off"):
+            fast = grads_fn(params, state, x, y, weights, model_key)
+
+        def redo(_):
+            with guard_scope("stable"):
+                return grads_fn(params, state, x, y, weights, model_key)
+
+        return jax.lax.cond(jnp.isnan(fast[1]["loss_total"]),
+                            redo, lambda _: fast, None)
+
     # params/state/opt_state are donated: the update happens in place on
     # device (halves the optimizer-state memory traffic; callers must thread
     # the returned pytrees, as the Trainer does). No-op on CPU.
@@ -298,7 +320,7 @@ def make_train_step(model, config: Config, optimizer: optax.GradientTransformati
         if config.flip:
             x, y = random_flip_batch(flip_key, x, y)
         x = truncate_channels(x, config.input_channel_number)
-        grads, comps, new_state = grads_fn(
+        grads, comps, new_state = guarded_grads_fn(
             params, state, x, y, weights, model_key)
         updates, new_opt_state = optimizer.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)

@@ -103,7 +103,15 @@ def chunked_batch_apply(fn, x: jnp.ndarray, chunk_size: int) -> jnp.ndarray:
     Falls back to one unchunked call when the batch is at or under
     `chunk_size`, when it does not divide evenly, or when chunking is
     disabled (chunk_size <= 0).
+
+    Under the default "outer" NaN-guard policy the per-chunk `fn` is wrapped
+    in `ops.attention.nan_guarded`: the sdpa kernels run unchecked and one
+    isnan cond per chunk (instead of one per kernel call) re-runs the chunk
+    through the stable kernels on underflow (docs/KNOBS.md).
     """
+    from kasportsformer_tpu.ops.attention import nan_guarded
+
+    fn = nan_guarded(fn)
     b = x.shape[0]
     if chunk_size <= 0 or b <= chunk_size or b % chunk_size:
         return fn(x)

@@ -19,8 +19,9 @@ Modes (combine as CLI args, e.g. `python scripts/train_campaign.py overfit`):
              + N/2; asserts the resumed parameter vector and metric curve
              match the uninterrupted run.
 
-Each mode appends a JSON line per epoch to /tmp/campaign_<mode>.jsonl and
-prints a summary table for docs/ROUND_NOTES.md.
+Each mode appends a JSON line per epoch to $KASF_CAMPAIGN_OUT/campaign_
+<mode>.jsonl (default /tmp; point it at docs/campaigns/ to keep the curves
+as committed evidence) and prints a summary table for docs/ROUND_NOTES.md.
 """
 
 from __future__ import annotations
@@ -155,7 +156,9 @@ def run_fit(tag: str, config: Config, train_set, test_set, epochs=None,
     import logging
     model = build_model(config)
     params, state = model.init(jax.random.key(seed))
-    hist = History(f"/tmp/campaign_{tag}.jsonl")
+    hist = History(os.path.join(
+        os.environ.get("KASF_CAMPAIGN_OUT", "/tmp"),
+        f"campaign_{tag}.jsonl"))
     trainer = Trainer(config, model, train_set, test_set,
                       log=logging.getLogger(tag), metric_sink=hist)
     t0 = time.time()
@@ -285,7 +288,9 @@ def mode_resume() -> None:
         config = base_config(epochs=total, new_checkpoint_dir=ckdir,
                              warmup_epoches=1)
         model = build_model(config)
-        hist = History(f"/tmp/campaign_{tag}.jsonl")
+        hist = History(os.path.join(
+            os.environ.get("KASF_CAMPAIGN_OUT", "/tmp"),
+            f"campaign_{tag}.jsonl"))
         return config, model, Trainer(config, model, train_set, test_set,
                                       log=logging.getLogger(tag),
                                       metric_sink=hist), hist

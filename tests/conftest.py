@@ -22,6 +22,15 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Pin the per-call NaN-guard policy for the suite: on CPU the sdpa Pallas
+# kernels never run (masked_sdpa dispatches to XLA), so the default "outer"
+# policy's whole-forward fallback branch adds nothing but a second trace of
+# every train/eval step — measured +26% suite wall on the train-step tests.
+# The outer machinery itself (contextvar scoping, the one-cond fallback,
+# underflow recovery) is covered explicitly by interpret-mode tests in
+# test_ops.py, and percall is what "outer" degrades to at the kernel level.
+os.environ.setdefault("KASF_ATTN_GUARD", "percall")
+
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)

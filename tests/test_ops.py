@@ -432,3 +432,80 @@ def test_fused_mlp_is_differentiable():
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5,
                                    rtol=1e-5)
+
+
+def test_guard_modes_resolve_kernel_behavior():
+    """KASF_ATTN_GUARD / guard_scope contract (docs/KNOBS.md): 'off' runs the
+    fast kernel unchecked (NaN at extreme inter-head spread — probes only),
+    'stable' runs the exact per-head-max kernel unconditionally, 'outer' at
+    the kernel level degrades to the per-call cond (the safety net for paths
+    that never wrap in nan_guarded)."""
+    from kasportsformer_tpu.ops.attention import guard_scope
+
+    shape = (2, 4, 17, 128)
+    q = RNG.standard_normal(shape).astype(np.float32)
+    k = RNG.standard_normal(shape).astype(np.float32)
+    v = RNG.standard_normal(shape).astype(np.float32)
+    q[..., :16] *= 60.0
+    k[..., :16] *= 60.0
+    scale = 1.0 / 4.0
+    args = (jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), scale, 8)
+    want = np.asarray(masked_sdpa_xla(*args))
+
+    with guard_scope("off"):
+        unchecked = np.asarray(masked_sdpa_pallas(*args, interpret=True))
+    assert np.isnan(unchecked).any()
+
+    for mode in ("stable", "outer", "percall"):
+        with guard_scope(mode):
+            got = np.asarray(masked_sdpa_pallas(*args, interpret=True))
+        assert np.isfinite(got).all(), mode
+        np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_nan_guarded_outer_cond_recovers_underflow():
+    """nan_guarded hoists the fallback to one cond on the wrapped fn's
+    output: a chain containing an underflowing kernel call comes back
+    finite and equal to the XLA per-head softmax path."""
+    from kasportsformer_tpu.ops.attention import guard_scope, nan_guarded
+
+    shape = (2, 4, 17, 128)
+    q = RNG.standard_normal(shape).astype(np.float32)
+    k = RNG.standard_normal(shape).astype(np.float32)
+    v = RNG.standard_normal(shape).astype(np.float32)
+    q[..., :16] *= 60.0
+    k[..., :16] *= 60.0
+    scale = 1.0 / 4.0
+
+    def chain(qa, ka, va):
+        out = masked_sdpa_pallas(qa, ka, va, scale, 8, interpret=True)
+        return out * 2.0 + 1.0
+
+    want = np.asarray(masked_sdpa_xla(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), scale, 8)) * 2.0 + 1.0
+    with guard_scope("outer"):
+        wrapped = nan_guarded(chain)
+        got = np.asarray(jax.jit(wrapped)(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)))
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+    # healthy inputs take the fast path and match XLA within rounding
+    qh = jnp.asarray(RNG.standard_normal(shape), jnp.float32)
+    with guard_scope("outer"):
+        healthy = np.asarray(jax.jit(nan_guarded(chain))(
+            qh, jnp.asarray(k / 60.0), jnp.asarray(v)))
+    wanth = np.asarray(masked_sdpa_xla(
+        qh, jnp.asarray(k / 60.0), jnp.asarray(v), scale, 8)) * 2.0 + 1.0
+    np.testing.assert_allclose(healthy, wanth, atol=1e-4, rtol=1e-4)
+
+
+def test_nan_guarded_passthrough_under_percall():
+    """Under a non-'outer' policy nan_guarded must return fn unchanged."""
+    from kasportsformer_tpu.ops.attention import guard_scope, nan_guarded
+
+    def f(x):
+        return x + 1
+
+    with guard_scope("percall"):
+        assert nan_guarded(f) is f
