@@ -64,6 +64,12 @@ class D3DPConfig:
     num_proposals: int = 1
     scale: float = 1.0  # args.scale
     flip_tta: bool = True  # args.test_time_augmentation
+    # denoiser calls in `sample` execute as a lax.map over chunks of this
+    # many clips: the flip-TTA doubled (2·B·H) batch spills the denoiser's
+    # VMEM-resident fusions past ~128 clips. Measured on v5e (round 5,
+    # sampling_timesteps=2, H=1): per-denoiser-batch 64 runs 379 clips/s,
+    # 128 -> 362, 256 -> 306. 0 disables chunking.
+    denoise_chunk: int = 64
 
 
 def _time_embedding(p: Params, t: jnp.ndarray, dim: int) -> jnp.ndarray:
@@ -229,6 +235,22 @@ class D3DP:
         times = list(reversed(times.astype(int).tolist()))
         time_pairs = list(zip(times[:-1], times[1:]))
 
+        def denoise_chunked(x2d, x3d, tt):
+            """One denoiser pass as a lax.map over `cfg.denoise_chunk`-clip
+            chunks (cf. `utils.common.chunked_batch_apply`, which takes a
+            single array — the denoiser has three batch-major operands).
+            Per-clip denoiser cost degrades past ~128 clips (VMEM spill; see
+            D3DPConfig.denoise_chunk), and the TTA-doubled batch gets there
+            fast."""
+            chunk = cfg.denoise_chunk
+            bsz = x2d.shape[0]
+            if chunk <= 0 or bsz <= chunk or bsz % chunk:
+                return self.denoise(params, x2d, x3d, tt)
+            parts = tuple(a.reshape(bsz // chunk, chunk, *a.shape[1:])
+                          for a in (x2d, x3d, tt))
+            out = jax.lax.map(lambda abc: self.denoise(params, *abc), parts)
+            return out.reshape(bsz, *out.shape[2:])
+
         k0, key = jax.random.split(key)
         img = jax.random.normal(k0, (b, h, f, n, 3), jnp.float32)
         preds_all = []
@@ -242,14 +264,13 @@ class D3DP:
                 # reference runs them back to back,
                 # `diffusionpose.py:529-535`; same trick as the flagship's
                 # one-program eval, train/evaluator.py)
-                both = self.denoise(
-                    params,
+                both = denoise_chunked(
                     jnp.concatenate([x2d_rep, x2d_flip_rep], axis=0),
                     jnp.concatenate([x_t_flat, joint_flip(x_t_flat)], axis=0),
                     jnp.concatenate([t, t], axis=0))
                 pred = (both[: b * h] + joint_flip(both[b * h :])) / 2
             else:
-                pred = self.denoise(params, x2d_rep, x_t_flat, t)
+                pred = denoise_chunked(x2d_rep, x_t_flat, t)
             x_start = jnp.clip(pred.reshape(b, h, f, n, 3) * cfg.scale,
                                -1.1 * cfg.scale, 1.1 * cfg.scale)
             preds_all.append(x_start)

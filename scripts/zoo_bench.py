@@ -23,6 +23,8 @@ def main() -> int:
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--output", default=None)
     ap.add_argument("--cpu", action="store_true", help="debug on CPU")
+    ap.add_argument("--only", default=None,
+                    help="bench a single model by name (probe mode; no table)")
     args = ap.parse_args()
 
     import jax
@@ -63,6 +65,11 @@ def main() -> int:
         ("D3DP", D3DP(D3DPConfig(sampling_timesteps=2, num_proposals=1),
                       compute_dtype=dtype)),
     ]
+
+    if args.only:
+        zoo = [(n, m) for n, m in zoo if n == args.only]
+        if not zoo:
+            raise SystemExit(f"unknown --only model: {args.only}")
 
     b = args.batch
     rng = np.random.default_rng(0)
@@ -121,6 +128,8 @@ def main() -> int:
             lines.append(f"| {name} | — | FAILED | — |")
         else:
             lines.append(f"| {name} | {n_params:,} | {ms:.2f} | {cps:,.0f} |")
+    if args.only:
+        return 0  # probe mode: never clobber the committed table
     out = args.output or os.path.join(os.path.dirname(__file__), "..",
                                       "docs", "ZOO_BENCH.md")
     with open(out, "w") as f:

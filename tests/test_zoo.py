@@ -264,6 +264,26 @@ def test_d3dp_fused_flip_tta():
     np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
 
 
+def test_d3dp_chunked_denoiser_matches_unchunked():
+    """`D3DPConfig.denoise_chunk` routes the sampler's denoiser passes
+    through a lax.map over clip chunks (VMEM sweet spot, +29% on v5e at
+    batch 128); numerics must be identical to the unchunked pass."""
+    from kasportsformer_tpu.models.zoo.d3dp import D3DP, D3DPConfig
+
+    base = dict(num_frame=27, embed_dim=32, depth=2, timesteps=50,
+                sampling_timesteps=2, num_proposals=2, flip_tta=True)
+    chunked = D3DP(D3DPConfig(**base, denoise_chunk=4))  # 2BH=8 -> 2 chunks
+    plain = D3DP(D3DPConfig(**base, denoise_chunk=0))
+    params, state = chunked.init(jax.random.key(0))
+
+    rng = np.random.default_rng(23)
+    x = jnp.asarray(rng.standard_normal((2, 27, 17, 3)), jnp.float32)
+    got = np.asarray(chunked.eval_predict(params, state, x))
+    want = np.asarray(plain.eval_predict(params, state, x))
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
 def test_hdformer_parity(monkeypatch):
     torch = pytest.importorskip("torch")
     enable_reference_imports()
