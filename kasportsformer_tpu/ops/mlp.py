@@ -175,7 +175,7 @@ def fused_mlp_pallas(x: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray,
     m, c = x.shape
     hidden = w1.shape[1]
     rows = _block_rows(m, c, hidden, x.dtype.itemsize)
-    if m % rows:
+    if rows == 0 or m % rows:
         raise ValueError(f"no row block divides M={m}")
     w1 = w1.astype(x.dtype)
     # bf16 path: the kernel computes 2*gelu; halving w2 restores the 0.5
@@ -238,7 +238,7 @@ def fused_mlp_ln_pallas(x: jnp.ndarray, gamma: jnp.ndarray, beta: jnp.ndarray,
     m, c = x.shape
     hidden = w1.shape[1]
     rows = _block_rows(m, c, hidden, x.dtype.itemsize)
-    if m % rows:
+    if rows == 0 or m % rows:
         raise ValueError(f"no row block divides M={m}")
     w1 = w1.astype(x.dtype)
     # bf16 path computes 2*gelu; halve w2 (exact exponent shift)
@@ -389,7 +389,7 @@ def fused_mlp_ln_bwd_pallas(x, gamma, beta, w1, b1, w2, b2, ls2, g,
     m, c = x.shape
     hidden = w1.shape[1]
     rows = _bwd_block_rows(m, c, hidden, x.dtype.itemsize)
-    if m % rows:
+    if rows == 0 or m % rows:
         raise ValueError(f"no row block divides M={m}")
     w1c = w1.astype(x.dtype)
     w2c = w2.astype(x.dtype)
@@ -458,7 +458,7 @@ def fused_mlp_ln(x: jnp.ndarray, gamma: jnp.ndarray, beta: jnp.ndarray,
             and x.size // c >= 8):
         m = x.size // c
         rows = _block_rows(m, c, hidden, x.dtype.itemsize)
-        if m % rows == 0:
+        if rows and m % rows == 0:
             out = fused_mlp_ln_pallas(x.reshape(m, c), gamma, beta,
                                       w1, b1, w2, b2, ls2, eps=eps)
             return out.reshape(x.shape)
@@ -478,7 +478,7 @@ def _fused_mlp_ln_bwd(eps, residuals, g):
             and x.size // c >= 8):
         m = x.size // c
         rows = _bwd_block_rows(m, c, hidden, x.dtype.itemsize)
-        if m % rows == 0:
+        if rows and m % rows == 0:
             grads = fused_mlp_ln_bwd_pallas(
                 x.reshape(m, c), gamma, beta, w1, b1, w2, b2, ls2,
                 g.reshape(m, c), eps=eps)
@@ -509,7 +509,7 @@ def fused_mlp(x: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray,
             and x.size // c >= 8):
         m = x.size // c
         rows = _block_rows(m, c, hidden, x.dtype.itemsize)
-        if m % rows == 0:
+        if rows and m % rows == 0:
             out = fused_mlp_pallas(x.reshape(m, c), w1, b1, w2, b2)
             return out.reshape(x.shape)
     return _mlp_xla(x, w1, b1, w2, b2)

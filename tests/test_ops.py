@@ -509,3 +509,35 @@ def test_nan_guarded_passthrough_under_percall():
 
     with guard_scope("percall"):
         assert nan_guarded(f) is f
+
+
+def test_mlp_row_block_odd_m_falls_back():
+    """M with no multiple-of-8 divisor (e.g. 1377 = 3 clips x 27 x 17 from
+    an odd demo batch) must yield rows=0 from the block chooser, a
+    ValueError from the direct kernels, and an XLA fallback (not a
+    ZeroDivisionError) from the fused_mlp_ln dispatch — round-5 demo-probe
+    regression on real TPU."""
+    import pytest
+
+    from kasportsformer_tpu.ops.mlp import (
+        _block_rows,
+        _bwd_block_rows,
+        fused_mlp_ln,
+        fused_mlp_pallas,
+    )
+
+    m, c, hidden = 1377, 128, 512
+    assert _block_rows(m, c, hidden, 2) == 0
+    assert _bwd_block_rows(m, c, hidden, 2) == 0
+
+    x = jnp.asarray(RNG.standard_normal((m, c)), jnp.float32)
+    w1 = jnp.asarray(RNG.standard_normal((c, hidden)) * 0.05, jnp.float32)
+    w2 = jnp.asarray(RNG.standard_normal((hidden, c)) * 0.05, jnp.float32)
+    with pytest.raises(ValueError, match="no row block"):
+        fused_mlp_pallas(x, w1, jnp.zeros(hidden), w2, jnp.zeros(c),
+                         interpret=True)
+    # dispatch path: falls back to XLA on any backend (on TPU it would have
+    # divided by zero before this fix)
+    out = fused_mlp_ln(x, jnp.ones(c), jnp.zeros(c), w1, jnp.zeros(hidden),
+                       w2, jnp.zeros(c), jnp.ones(c))
+    assert out.shape == (m, c) and bool(jnp.isfinite(out).all())
