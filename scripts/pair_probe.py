@@ -29,12 +29,16 @@ ITERS = 52
 
 
 def bench(fn, args, n=20):
-    out = jax.jit(fn)(*args)
-    jax.block_until_ready(out)
+    # sync by scalar fetch: block_until_ready is a no-op through the axon
+    # tunnel (docs/ROUND_NOTES.md round-2 traps). The scan bodies return a
+    # scalar carry, so fetching the last result drains the pipeline.
+    f = jax.jit(fn)
+    float(f(*args))  # compile + warm
     t0 = time.perf_counter()
+    out = None
     for _ in range(n):
-        out = jax.jit(fn)(*args)
-    jax.block_until_ready(out)
+        out = f(*args)
+    float(out)
     return (time.perf_counter() - t0) / n
 
 
