@@ -1,16 +1,22 @@
 """Train-step roofline — recalibrated round 5 from SAME-DAY in-model
 ablations (VERDICT r4 task 3: the r4 version over-costed stale terms and
 claimed a 518 ms "floor" against a 456 ms measured step — a floor the
-machine beat proves nothing).
+machine beat proves nothing), then CORRECTED by an on-device profiler
+trace (`scripts/trace_probe.py` — the profiler works through the axon
+tunnel, round-5 discovery).
 
-Protocol that produced the constants below (2026-08-21, quiet v5e,
-outer NaN guard, batch 128, 32-clip gradient microbatches,
-remat = attn_core+gcn_agg+mlp_tail — the Config defaults):
+Ablation protocol (2026-08-21, quiet v5e, outer NaN guard, batch 128,
+32-clip gradient microbatches, remat = attn_core+gcn_agg+mlp_tail):
   KASF_PROBE_MICRO=32 KASF_ABLATE=<x> python scripts/perf_probe.py train
-Ablating a term dead-code-eliminates it from BOTH forward and backward, so
-baseline − ablated = the term's true in-step cost including its gradient
-and replay traffic — no per-call microbenchmark inflation (the round-3
-kernel_probe trap) and no stale cross-round ratios.
+
+**Ablation caveat discovered by the trace:** KASF_ABLATE short-circuits the
+PRIMAL only. For ops with a custom VJP (masked_sdpa) the backward rule
+still dispatches its Pallas kernel in the ablated step, so
+`KASF_ABLATE=attncore` measures the FORWARD sdpa kernels only (51.9 ms);
+the trace shows the sdpa BACKWARD kernels cost another 139.6 ms — the
+largest single term of the step (30%). Whole-BRANCH ablations (att/bone/
+graph) do remove fwd+bwd (the call sites vanish), so those deltas are
+true; their "residues" in this table simply contain their sdpa-bwd share.
 
 Run anywhere (pure arithmetic): python scripts/train_roofline.py
 """
@@ -19,11 +25,19 @@ import sys
 
 # ---------------- measured in-step terms (ms / optimizer step) ----------------
 MEASURED_STEP_MS = 465.2          # perf_probe train, micro=32 (275 clips/s)
-SDPA_MS = 465.2 - 413.3           # = 51.9   KASF_ABLATE=attncore
+SDPA_MS = 465.2 - 413.3           # = 51.9   KASF_ABLATE=attncore (FWD ONLY!)
 MLP_TAILS_MS = 465.2 - 326.3      # = 138.9  KASF_ABLATE=mlp (all 156 tails)
 GRAPH_MS = 465.2 - 396.3          # = 68.9   KASF_ABLATE=graph (whole branch)
 ATT_BRANCH_MS = 465.2 - 297.5     # = 167.7  KASF_ABLATE=att (whole branch)
 BONE_BRANCH_MS = 465.2 - 291.5    # = 173.7  KASF_ABLATE=bone (whole branch)
+
+# trace_probe ground truth (same config, device self-time sums to 459.7
+# ms/step = measured within 1.2%):
+TRACE_SDPA_BWD_MS = 139.6   # 4 kernels/layer-step, ~349 us/call @32 clips
+TRACE_SDPA_FWD_MS = 40.1    # ~100 us/call — bwd runs at 3.5x fwd
+TRACE_MLP_BWD_MS = 62.9     # fused bwd kernel + scan grad-accum fusions
+TRACE_MLP_FWD_MS = 22.5
+TRACE_SCAN_TAIL_MS = 50.0   # copies/reshapes/dynamic-(update-)slices
 
 # ---------------- machine rates (measured round 2, unchanged) ----------------
 THIN_K_TFS = 29e12    # K=128 matmul, bf16
@@ -98,13 +112,21 @@ def main() -> int:
     print(f"\n>=320 clips/s requires <= {need:.0f} ms/step, i.e. recovering "
           f"{MEASURED_STEP_MS - need:.0f} ms = "
           f"{(MEASURED_STEP_MS - need) / slack * 100:.0f}% of the slack.")
-    print("Signed conclusion: floor < measured (internally consistent, "
-          "unlike r4); the slack is spread over the att/bone branch "
-          "residues (each ~2x their projection arithmetic: LN streams, "
-          "gates, decomposer/refusion, thin-K efficiency in-train) with no "
-          "single >=65 ms term. The flat >=320 target is RETIRED; the "
-          "recorded attack surface for future rounds is the branch-specific "
-          "residue (profile-driven), not the kernels.")
+    print(f"\ntrace_probe ground truth (device self-time, ms/step): "
+          f"sdpa bwd {TRACE_SDPA_BWD_MS} | sdpa fwd {TRACE_SDPA_FWD_MS} | "
+          f"MLP bwd+accum {TRACE_MLP_BWD_MS} | MLP fwd {TRACE_MLP_FWD_MS} | "
+          f"scan-machinery tail ~{TRACE_SCAN_TAIL_MS}")
+    print(
+        "Signed conclusion (trace-corrected): floor < measured and the\n"
+        "per-term table is internally consistent, but the 'diffuse slack'\n"
+        "story was wrong — the profiler shows ONE dominant attackable term:\n"
+        f"the sdpa BACKWARD kernels at {TRACE_SDPA_BWD_MS} ms/step (30%),\n"
+        "running at 3.5x their forward per call against ~2.7x dot content.\n"
+        ">=320 clips/s is REACHABLE IFF the bwd kernel reaches ~2.3x fwd\n"
+        "(e.g. probs saved across the remat boundary so the bwd skips the\n"
+        "logits/exp/normalize recompute) — that is the recorded attack\n"
+        "surface. Until that lands, 275 clips/s stands as the honest\n"
+        "number for this remat scheme.")
     return 0
 
 
