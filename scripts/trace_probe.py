@@ -50,9 +50,10 @@ def capture(steps: int, batch: int, micro: int, logdir: str) -> None:
     params, state = model.init(jax.random.key(0))
     config = Config(batch_size=batch, flip=True, compute_dtype="bfloat16",
                     grad_microbatch=micro)
+    remat = tuple(n for n in os.environ.get(
+        "KASF_PROBE_REMAT", "attn_core,gcn_agg,mlp_tail").split(",") if n)
     tmodel = KASportsFormer(
-        KASportsFormerConfig(remat_names=("attn_core", "gcn_agg", "mlp_tail")),
-        compute_dtype=jnp.bfloat16)
+        KASportsFormerConfig(remat_names=remat), compute_dtype=jnp.bfloat16)
     optimizer = make_optimizer(config)
     opt_state = optimizer.init(params)
     step = make_train_step(tmodel, config, optimizer)

@@ -117,16 +117,22 @@ def main() -> int:
           f"MLP bwd+accum {TRACE_MLP_BWD_MS} | MLP fwd {TRACE_MLP_FWD_MS} | "
           f"scan-machinery tail ~{TRACE_SCAN_TAIL_MS}")
     print(
-        "Signed conclusion (trace-corrected): floor < measured and the\n"
-        "per-term table is internally consistent, but the 'diffuse slack'\n"
-        "story was wrong — the profiler shows ONE dominant attackable term:\n"
-        f"the sdpa BACKWARD kernels at {TRACE_SDPA_BWD_MS} ms/step (30%),\n"
-        "running at 3.5x their forward per call against ~2.7x dot content.\n"
-        ">=320 clips/s is REACHABLE IFF the bwd kernel reaches ~2.3x fwd\n"
-        "(e.g. probs saved across the remat boundary so the bwd skips the\n"
-        "logits/exp/normalize recompute) — that is the recorded attack\n"
-        "surface. Until that lands, 275 clips/s stands as the honest\n"
-        "number for this remat scheme.")
+        "Signed conclusion (trace-corrected, saved-probs tested): the\n"
+        "profiler shows ONE dominant term — the sdpa BACKWARD kernels at\n"
+        f"{TRACE_SDPA_BWD_MS} ms/step (30%), 3.5x their forward per call.\n"
+        "The obvious attack (save the fwd exp weights as residuals so the\n"
+        "bwd skips its logits/rowmax/exp recompute) was IMPLEMENTED AND\n"
+        "MEASURED round 5: bwd kernel 139.6 -> 136.2 ms (the recompute is\n"
+        "only ~3 ms of it — the kernel's time is the VMEM expansions, six\n"
+        "remaining dots and (H*N,C) mask multiplies, exactly the round-3\n"
+        "'builds not dots' finding), while the saved (B,G,N,H*N) residual\n"
+        "added ~20 ms of scan stacking/copies: net 275 -> 261 clips/s.\n"
+        "DEAD END (code reverted; numbers in docs/ROUND_NOTES.md). With\n"
+        "recompute ruled out, no remaining single-term candidate reaches\n"
+        "the 65 ms that >=320 needs — the flat target stays RETIRED;\n"
+        "275 clips/s is the honest number for this formulation + remat\n"
+        "scheme, and further train gains require a different attention\n"
+        "decomposition, not scheduling.")
     return 0
 
 
