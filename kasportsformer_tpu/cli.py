@@ -343,8 +343,11 @@ def _native_dir(path: str) -> str:
 
 
 def cmd_profile(args: argparse.Namespace) -> int:
-    """Capture a jax.profiler trace of forward (and optionally train) steps —
-    the runtime tracing the reference lacks (SURVEY.md §5.1)."""
+    """Capture a jax.profiler trace of forward steps — the runtime tracing
+    the reference lacks (SURVEY.md §5.1). Works through the remote-TPU
+    tunnel (round-5 discovery); with --analyze, prints the on-device
+    per-op SELF-time table from the perfetto trace (utils/trace.py), the
+    attribution ground truth the KASF_ABLATE knobs cannot give."""
     jax = _jax()
     import jax.numpy as jnp
 
@@ -357,13 +360,22 @@ def cmd_profile(args: argparse.Namespace) -> int:
     fwd = jax.jit(lambda p, s, x: model.apply(p, s, x, train=False)[0])
     x = jnp.zeros((args.batch_size, config.n_frames, config.num_joints,
                    config.dim_in), jnp.float32)
-    fwd(params, state, x).block_until_ready()  # compile outside the trace
+    # compile + sync outside the trace; block_until_ready is a no-op
+    # through the axon tunnel, so sync by scalar fetch (ROUND_NOTES traps)
+    float(jnp.sum(fwd(params, state, x)))
     os.makedirs(args.trace_dir, exist_ok=True)
-    with jax.profiler.trace(args.trace_dir):
+    with jax.profiler.trace(args.trace_dir,
+                            create_perfetto_trace=args.analyze):
+        out = None
         for i in range(args.iters):
             with jax.profiler.StepTraceAnnotation("forward", step_num=i):
-                fwd(params, state, x).block_until_ready()
+                out = fwd(params, state, x)
+        float(jnp.sum(out))  # drain the pipeline INSIDE the trace
     print(args.trace_dir)
+    if args.analyze:
+        from kasportsformer_tpu.utils.trace import self_time_table
+
+        print(self_time_table(args.trace_dir, steps=args.iters))
     return 0
 
 
@@ -496,6 +508,9 @@ def build_parser() -> argparse.ArgumentParser:
     p_prof.add_argument("--trace-dir", default="./traces")
     p_prof.add_argument("--batch-size", type=int, default=128)
     p_prof.add_argument("--iters", type=int, default=5)
+    p_prof.add_argument("--analyze", action="store_true",
+                        help="write a perfetto trace and print the "
+                             "on-device per-op self-time table")
     p_prof.set_defaults(fn=cmd_profile)
 
     p_serve = sub.add_parser("serve", help="HTTP lifting service")

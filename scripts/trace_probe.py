@@ -18,12 +18,7 @@ Prints the top self-time groups and the named Pallas custom-call terms.
 from __future__ import annotations
 
 import argparse
-import collections
-import glob
-import gzip
-import json
 import os
-import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -75,78 +70,12 @@ def capture(steps: int, batch: int, micro: int, logdir: str) -> None:
 
 
 def analyze(logdir: str, steps: int) -> None:
-    paths = sorted(glob.glob(
-        os.path.join(logdir, "plugins/profile/*/perfetto_trace.json.gz")))
-    if not paths:
-        raise SystemExit(f"no perfetto trace under {logdir}")
-    data = json.loads(gzip.open(paths[-1]).read())
-    events = data["traceEvents"] if isinstance(data, dict) else data
+    from kasportsformer_tpu.utils.trace import (
+        device_self_times, load_perfetto_events, self_time_table)
 
-    pnames, tnames = {}, {}
-    for e in events:
-        if e.get("ph") == "M":
-            if e.get("name") == "process_name":
-                pnames[e["pid"]] = e["args"]["name"]
-            if e.get("name") == "thread_name":
-                tnames[(e["pid"], e["tid"])] = e["args"]["name"]
-    tpu_pids = {pid for pid, n in pnames.items() if "TPU" in n}
-
-    per_tid = collections.defaultdict(list)
-    long_names = {}
-    for e in events:
-        key = (e.get("pid"), e.get("tid"))
-        if (e.get("ph") == "X" and e.get("pid") in tpu_pids
-                and tnames.get(key) == "XLA Ops"):
-            per_tid[key].append((e["ts"], e["ts"] + e.get("dur", 0),
-                                 e["name"]))
-            if e["name"] not in long_names:
-                long_names[e["name"]] = e.get("args", {}).get("long_name", "")
-
-    # self-time: stack by interval containment per thread, children subtract
-    self_us = collections.Counter()
-    for _tid, evs in per_tid.items():
-        evs.sort(key=lambda x: (x[0], -(x[1] - x[0])))
-        stack: list[list] = []  # [end, name, child_sum, dur]
-        def close(frame):
-            self_us[frame[1]] += frame[3] - frame[2]
-        for ts, te, name in evs:
-            while stack and stack[-1][0] <= ts:
-                close(stack.pop())
-            if stack:
-                stack[-1][2] += te - ts
-            stack.append([te, name, 0.0, te - ts])
-        while stack:
-            close(stack.pop())
-
-    total = sum(self_us.values())
-    print(f"device self-time: {total / steps / 1e3:.1f} ms/step "
-          f"({len(self_us)} distinct ops)")
-
-    def group(name: str) -> str:
-        ln = long_names.get(name, "")
-        # classify Pallas custom-calls by their OUTPUT signature (the text
-        # before "custom-call("/"fusion("):
-        head = ln.split("custom-call(")[0] if "custom-call(" in ln else ""
-        if head:
-            n_out = head.count("[")
-            flag = ",128]{2,1,0:T(1,128)" in head  # the (B,1,128) denom flag
-            if n_out >= 4 and flag:
-                return "pallas sdpa BWD kernel (dq,dk,dv,flag)"
-            if n_out == 2 and flag:
-                return "pallas sdpa FWD kernel (out,flag)"
-            if n_out == 1:
-                return "pallas fused LN-MLP FWD kernel"
-            return "pallas custom-call (other)"
-        if "fusion(" in ln and "f32[25,128,512]" in ln.split("fusion(")[0]:
-            return "MLP BWD kernel + scan grad-accum fusion"
-        return re.sub(r"[.\d]+$", "", name)
-
-    grouped = collections.Counter()
-    for name, us in self_us.items():
-        grouped[group(name)] += us
-    for name, us in grouped.most_common(20):
-        print(f"  {us / steps / 1e3:8.2f} ms/step  {name}")
-
+    print(self_time_table(logdir, steps=steps))
+    events = load_perfetto_events(logdir)
+    self_us, long_names = device_self_times(events)
     print("\ntop individual ops (self-time):")
     for name, us in self_us.most_common(15):
         ln = long_names.get(name, "")[:110].replace("\n", " ")

@@ -189,3 +189,51 @@ def test_distributed_flag_parses_and_reaches_hook(monkeypatch):
     # idempotent
     assert parallel.maybe_init_distributed(True) is False
     assert len(calls) == 1
+
+
+def test_trace_self_time_analysis(tmp_path):
+    """utils/trace.py: self-times subtract nested children (scopes like
+    while/checkpoint don't double-count) and Pallas custom-calls classify
+    by output signature — against a synthetic perfetto trace."""
+    import gzip
+    import json
+
+    from kasportsformer_tpu.utils.trace import (
+        device_self_times,
+        load_perfetto_events,
+        self_time_table,
+    )
+
+    d = tmp_path / "plugins" / "profile" / "2026_01_01_00_00_00"
+    d.mkdir(parents=True)
+    events = [
+        {"ph": "M", "pid": 1, "name": "process_name",
+         "args": {"name": "/device:TPU:0"}},
+        {"ph": "M", "pid": 1, "tid": 3, "name": "thread_name",
+         "args": {"name": "XLA Ops"}},
+        {"ph": "M", "pid": 9, "name": "process_name",
+         "args": {"name": "/host:CPU"}},
+        # a 100us scope containing a 60us Pallas sdpa-fwd-shaped call:
+        # scope self-time must be 40
+        {"ph": "X", "pid": 1, "tid": 3, "ts": 0, "dur": 100,
+         "name": "while.1", "args": {}},
+        {"ph": "X", "pid": 1, "tid": 3, "ts": 10, "dur": 60,
+         "name": "closed_call.7",
+         "args": {"long_name": "%closed_call.7 = (bf16[2,4,17,128]{3,2,1,0},"
+                  " f32[2,1,128]{2,1,0:T(1,128)}) custom-call(bf16[...])"}},
+        # host-side event must be ignored
+        {"ph": "X", "pid": 9, "tid": 1, "ts": 0, "dur": 500,
+         "name": "python", "args": {}},
+    ]
+    with gzip.open(d / "perfetto_trace.json.gz", "wt") as f:
+        json.dump({"traceEvents": events}, f)
+
+    loaded = load_perfetto_events(str(tmp_path))
+    self_us, long_names = device_self_times(loaded)
+    assert self_us["while.1"] == 40
+    assert self_us["closed_call.7"] == 60
+    assert sum(self_us.values()) == 100
+
+    table = self_time_table(str(tmp_path), steps=1)
+    assert "pallas sdpa FWD kernel" in table
+    assert "0.1 ms/step" in table  # total = 100us
