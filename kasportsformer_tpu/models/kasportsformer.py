@@ -65,6 +65,21 @@ def _trunk_knobs() -> tuple[bool, str, bool, str]:
             os.environ.get("KASF_HG_BF16", "1") != "0",
             os.environ.get("KASF_ABLATE", ""))
 
+
+def _stream_transpose(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, T, J, C) <-> (B, J, T, C) stream transpose for the tokens-major
+    temporal modules, with the physical relayout PINNED at the 128-channel
+    stream via an optimization_barrier (default on; KASF_TBAR=0 for A/B) —
+    without it XLA sinks the transpose past the 3x-wider qkv projection and
+    materializes the layout copy on (…, 384) operands at the Pallas-call
+    boundary. trace_probe found ~23 ms/step of relayout copies in the bf16
+    forward; the barrier recovers 983 -> 1,006 clips/s @128 (+2.3%) and is
+    neutral in the train step (274 vs 275 — measured round 5, v5e)."""
+    xt = x.transpose(0, 2, 1, 3)
+    if os.environ.get("KASF_TBAR", "1") != "0":
+        xt = jax.lax.optimization_barrier(xt)
+    return xt
+
 # (16, 17) selection matrix: row b = e[child_b] - e[parent_b], so
 # M @ joints_xy yields all bone vectors in one matmul. Kept as numpy — it
 # becomes a folded constant under jit; no device array at import time.
@@ -355,7 +370,7 @@ def fused_trunk_layer_apply(p: Params, fw: Params, state: Params,
     core = L._sdpa(q, k, v, scale, "spatial", heads)
     x_attn = _mixer_tail(p_as, x, L.linear(p_as["mixer"]["proj"], core),
                          use_ls, train)
-    xt = x_attn.transpose(0, 2, 1, 3)
+    xt = _stream_transpose(x_attn)
     qkv_t = L.linear(p_at["mixer"]["qkv"], L.layer_norm(p_at["norm1"], xt))
     q2, k2, v2 = jnp.split(qkv_t, 3, axis=-1)
     core = L._sdpa_tokens(q2, k2, v2, scale, heads)
@@ -392,7 +407,7 @@ def fused_trunk_layer_apply(p: Params, fw: Params, state: Params,
     core = L._sdpa(q_b, k_sp, v_sp, scale, "spatial", heads)
     x_bone = _mixer_tail(p_bs, x, L.linear(p_bs["mixer"]["proj"], core),
                          use_ls, train)
-    xbt = x_bone.transpose(0, 2, 1, 3)
+    xbt = _stream_transpose(x_bone)
     q_t = L.linear(p_bt["mixer"]["q"], L.layer_norm(p_bt["norm1"], xbt))
     core = L._sdpa_tokens(q_t, k_t, v_t, scale, heads)
     x_bone = _mixer_tail(p_bt, xbt, L.linear(p_bt["mixer"]["proj"], core),
