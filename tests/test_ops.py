@@ -541,3 +541,43 @@ def test_mlp_row_block_odd_m_falls_back():
     out = fused_mlp_ln(x, jnp.ones(c), jnp.zeros(c), w1, jnp.zeros(hidden),
                        w2, jnp.zeros(c), jnp.ones(c))
     assert out.shape == (m, c) and bool(jnp.isfinite(out).all())
+
+
+def test_nan_guarded_recovers_through_tp_shard_map():
+    """The outer guard composes with the tensor-parallel attention path:
+    a sharp inter-head spread that NaNs the unchecked per-shard kernels is
+    recovered by one nan_guarded cond AROUND the shard_map'd call, matching
+    the per-head-softmax XLA result (dp×tp mesh, interpret kernels)."""
+    from jax.sharding import Mesh
+
+    from kasportsformer_tpu.ops.attention import (
+        guard_scope,
+        masked_sdpa_tp,
+        nan_guarded,
+    )
+
+    devs = np.array(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devs, ("data", "model"))
+
+    shape = (4, 4, 17, 128)
+    q = RNG.standard_normal(shape).astype(np.float32)
+    k = RNG.standard_normal(shape).astype(np.float32)
+    v = RNG.standard_normal(shape).astype(np.float32)
+    q[..., :16] *= 60.0  # head 0 (shard 0 of tp=2) towers over the rest
+    k[..., :16] *= 60.0
+    scale = 1.0 / 4.0
+    args = tuple(jnp.asarray(a) for a in (q, k, v))
+
+    def tp_call(qa, ka, va):
+        return masked_sdpa_tp(qa, ka, va, scale, 8, mesh,
+                              force_pallas_interpret=True)
+
+    with guard_scope("off"):
+        raw = np.asarray(jax.jit(tp_call)(*args))
+    assert np.isnan(raw).any()  # the unchecked TP path really underflows
+
+    want = np.asarray(masked_sdpa_xla(*args, scale, 8))
+    with guard_scope("outer"):
+        got = np.asarray(jax.jit(nan_guarded(tp_call))(*args))
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
